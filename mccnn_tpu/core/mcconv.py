@@ -1,0 +1,158 @@
+"""Monte-Carlo spatial convolution — the framework's hot op.
+
+Reference parity (viscom-ulm/MCCNN): ``tf_ops/spatial_conv.*`` (``SpatialConv``
+/ ``SpatialConvGrad``) — per neighbor, normalize the offset by the radius,
+evaluate a small kernel-MLP (one hidden layer, ~8 units, ReLU; paper §4),
+weight the neighbor's features by ``kernel / pdf``, and average over the
+neighborhood (SURVEY §2.1/§3.3; mount empty, no file:line).  The reference
+backward is an atomics scatter-add CUDA kernel; here reverse-mode AD of the
+dense masked formulation yields a deterministic segment-sum backward for free
+(no atomics on TPU — bitwise-reproducible gradients, see tests).
+
+Estimator (per output sample i):
+
+  out[i] = (1 / c_i) * sum_{j in N(i)}  g((y_j - x_i)/r) * f[j] / pdf[j]
+
+with ``c_i`` the TRUE neighbor count (pre-truncation), keeping the estimate
+unbiased when the fixed-capacity list truncates dense neighborhoods.
+
+Two kernel shapes (mirroring the reference's ``multiFeatureConvs`` flag):
+  * 'depthwise' (reference default): MLP 3 -> H -> Cin; out channel c gets
+    kernel weight w[c] * f[c] — channel mixing is then done by separate 1x1
+    convs, as in the reference models.
+  * 'full': MLP 3 -> H -> Cin*Cout; a dense spatial conv.
+
+This file is the portable jnp implementation (chunked over samples to bound
+the (m, K, C) intermediate).  The fused Pallas kernel in
+``ops/pallas/mcconv_kernel.py`` is numerically parity-tested against this.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .gather import batched_gather
+from .neighbors import Neighborhood
+
+KERNEL_HIDDEN = 8  # paper: one hidden layer with 8 neurons
+
+
+class MCConvParams(NamedTuple):
+    """Kernel-MLP parameters. w2 is (H, Cin) for depthwise, (H, Cin*Cout) for full."""
+
+    w1: Array  # (3, H)
+    b1: Array  # (H,)
+    w2: Array  # (H, Cin) | (H, Cin*Cout)
+    b2: Array  # matching w2's trailing dim
+
+
+def init_mcconv_params(
+    key: jax.Array,
+    c_in: int,
+    c_out: int | None = None,
+    hidden: int = KERNEL_HIDDEN,
+    dtype=jnp.float32,
+) -> MCConvParams:
+    """He-style init for the kernel MLP (c_out=None -> depthwise)."""
+    k1, k2 = jax.random.split(key)
+    out_dim = c_in if c_out is None else c_in * c_out
+    w1 = jax.random.normal(k1, (3, hidden), dtype) * (2.0 / 3.0) ** 0.5
+    w2 = jax.random.normal(k2, (hidden, out_dim), dtype) * (2.0 / hidden) ** 0.5
+    return MCConvParams(
+        w1=w1,
+        b1=jnp.zeros((hidden,), dtype),
+        w2=w2,
+        b2=jnp.zeros((out_dim,), dtype),
+    )
+
+
+def _conv_chunk(
+    params: MCConvParams,
+    samples: Array,  # (m, 3)
+    nbr_idx: Array,  # (m, K)
+    nbr_mask: Array,  # (m, K)
+    inv_count: Array,  # (m,)
+    source_pts: Array,  # (N, 3)
+    weighted_feats: Array,  # (N, C)  == features / pdf
+    radius: Array,
+    c_out: int | None,
+) -> Array:
+    offsets = (source_pts[nbr_idx] - samples[:, None, :]) / radius  # (m,K,3)
+    h = jax.nn.relu(offsets @ params.w1 + params.b1)  # (m,K,H)
+    w = h @ params.w2 + params.b2  # (m,K,Cin[*Cout])
+    f = weighted_feats[nbr_idx]  # (m,K,Cin)
+    m = nbr_mask[..., None].astype(f.dtype)
+    if c_out is None:
+        contrib = w * f * m  # depthwise
+        out = jnp.sum(contrib, axis=1)  # (m,Cin)
+    else:
+        c_in = f.shape[-1]
+        w = w.reshape(w.shape[0], w.shape[1], c_in, c_out)
+        out = jnp.einsum("mkc,mkco->mo", f * m, w)
+    return out * inv_count[:, None]
+
+
+def mc_conv(
+    params: MCConvParams,
+    sample_pts: Array,  # (B, M, 3)
+    neighborhood: Neighborhood,  # over (B, M) queries into (B, N) sources
+    source_pts: Array,  # (B, N, 3)
+    features: Array,  # (B, N, Cin)
+    pdf: Array,  # (B, N)
+    *,
+    c_out: int | None = None,
+    sample_chunk: int | None = None,
+) -> Array:
+    """Monte-Carlo conv from N source points onto M sample points.
+
+    Returns ``(B, M, Cin)`` (depthwise, ``c_out=None``) or ``(B, M, c_out)``.
+    Works for down-sampling (M < N), same-level (samples == sources) and
+    up-sampling decoder convs (M > N) exactly like the reference's
+    level-agnostic ``create_convolution`` (SURVEY §3.4).
+    """
+    B, M, _ = sample_pts.shape
+    radius = jnp.asarray(neighborhood.radius, features.dtype)
+    inv_count = 1.0 / jnp.maximum(neighborhood.count.astype(features.dtype), 1.0)
+    weighted = features / pdf[..., None]
+
+    if sample_chunk is None:
+        K = neighborhood.idx.shape[-1]
+        C = features.shape[-1]
+        budget = 2**22
+        per_row = K * max(C, 1)
+        sample_chunk = M if M * per_row <= budget else max(1, budget // per_row)
+
+    def per_cloud(s, idx, nmask, invc, src, wf):
+        if sample_chunk >= M:
+            return _conv_chunk(params, s, idx, nmask, invc, src, wf, radius, c_out)
+        pad = (-M) % sample_chunk
+        sp = jnp.pad(s, ((0, pad), (0, 0)))
+        ip = jnp.pad(idx, ((0, pad), (0, 0)))
+        mp = jnp.pad(nmask, ((0, pad), (0, 0)))
+        cp = jnp.pad(invc, ((0, pad),))
+        n_chunks = (M + pad) // sample_chunk
+        out = jax.lax.map(
+            lambda a: _conv_chunk(
+                params, a[0], a[1], a[2], a[3], src, wf, radius, c_out
+            ),
+            (
+                sp.reshape(n_chunks, sample_chunk, 3),
+                ip.reshape(n_chunks, sample_chunk, -1),
+                mp.reshape(n_chunks, sample_chunk, -1),
+                cp.reshape(n_chunks, sample_chunk),
+            ),
+        )
+        return out.reshape(-1, out.shape[-1])[:M]
+
+    return jax.vmap(per_cloud)(
+        sample_pts,
+        neighborhood.idx,
+        neighborhood.mask,
+        inv_count,
+        source_pts,
+        weighted,
+    )

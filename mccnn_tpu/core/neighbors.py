@@ -1,0 +1,143 @@
+"""Fixed-radius neighbor search with fixed-capacity padded output.
+
+Reference parity (viscom-ulm/MCCNN): ``tf_ops/find_neighbors.*`` — a two-pass
+CUDA kernel scanning 3x3x3 grid cells and emitting a variable-length CSR
+neighbor list (SURVEY §2.1; mount empty, no file:line).
+
+TPU-native redesign: XLA wants static shapes, so instead of CSR we emit a
+dense ``(B, M, K)`` neighbor-index tensor plus a boolean mask and the *true*
+(pre-truncation) neighbor count.  When a query has more than K in-radius
+sources we keep the K **nearest** (least-biased truncation) and downstream
+consumers renormalize the Monte-Carlo estimator by the true count so the
+estimate stays unbiased in expectation.
+
+The search itself is a tiled dense distance computation using the
+``|q - s|^2 = |q|^2 + |s|^2 - 2 q.s`` expansion: the ``q @ s^T`` term is a
+matmul that rides the MXU, which on TPU beats pointer-chasing a grid table for
+the point counts in every reference workload (<= tens of thousands of points).
+A bucketed-grid variant for very large ScanNet scenes lives behind the same
+interface (``method='grid'``) and can be added without touching callers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_INF = jnp.float32(3.4e38)
+
+
+class Neighborhood(NamedTuple):
+    """Padded fixed-capacity neighborhood of M query points among N sources.
+
+    Attributes:
+      idx: ``(B, M, K)`` int32 indices into the source point axis. Entries with
+        ``mask == False`` are arbitrary (clipped to valid range for safe gather).
+      mask: ``(B, M, K)`` bool — True where the slot holds a real neighbor.
+      count: ``(B, M)`` int32 — TRUE number of in-radius neighbors (may exceed
+        K). Monte-Carlo normalization must use this, not ``mask.sum``.
+      radius: the search radius (python float; static).
+    """
+
+    idx: Array
+    mask: Array
+    count: Array
+    radius: float
+
+
+def _chunk_topk(
+    q_chunk: Array,
+    q_mask_chunk: Array,
+    sources: Array,
+    s_mask: Array,
+    radius2: float,
+    k: int,
+) -> tuple[Array, Array, Array]:
+    """Neighbor top-k for one chunk of queries. Shapes: q (m,3), s (N,3)."""
+    # Squared distances via the matmul expansion (MXU-friendly). HIGHEST
+    # precision: the default TPU matmul precision (bf16 passes) misclassifies
+    # points near the radius boundary — neighbor membership must be exact f32.
+    qq = jnp.sum(q_chunk * q_chunk, axis=-1, keepdims=True)  # (m,1)
+    ss = jnp.sum(sources * sources, axis=-1)  # (N,)
+    qs = jnp.dot(
+        q_chunk,
+        sources.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d2 = qq + ss[None, :] - 2.0 * qs  # (m,N)
+    d2 = jnp.maximum(d2, 0.0)
+    valid = (d2 <= radius2) & s_mask[None, :] & q_mask_chunk[:, None]
+    count = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    score = jnp.where(valid, -d2, -_INF)
+    k_eff = min(k, score.shape[-1])
+    top_scores, top_idx = jax.lax.top_k(score, k_eff)
+    if k_eff < k:
+        pad = k - k_eff
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
+    nmask = top_scores > -_INF
+    return top_idx.astype(jnp.int32), nmask, count
+
+
+def radius_neighbors(
+    queries: Array,
+    q_mask: Array,
+    sources: Array,
+    s_mask: Array,
+    radius: float,
+    k: int,
+    *,
+    query_chunk: int | None = None,
+) -> Neighborhood:
+    """Fixed-radius search: for each query, up to ``k`` nearest in-radius sources.
+
+    Args:
+      queries: ``(B, M, 3)``; q_mask ``(B, M)`` bool.
+      sources: ``(B, N, 3)``; s_mask ``(B, N)`` bool.
+      radius: search radius (static float). Inclusive boundary (``d <= r``).
+      k: fixed neighbor capacity (static int).
+      query_chunk: process queries in chunks of this size to bound the
+        ``(m, N)`` distance-matrix footprint. Default: whole M at once when
+        ``M * N <= 2**22``, else chunks of ``max(1, 2**22 // N)``.
+
+    A point is its own neighbor (distance 0) when present in both sets — same
+    as the reference, whose KDE and conv include the center point.
+    """
+    B, M, _ = queries.shape
+    N = sources.shape[1]
+    radius2 = float(radius) * float(radius)
+
+    if query_chunk is None:
+        budget = 2**22
+        query_chunk = M if M * N <= budget else max(1, budget // N)
+
+    def per_cloud(q, qm, s, sm):
+        if query_chunk >= M:
+            return _chunk_topk(q, qm, s, sm, radius2, k)
+        pad = (-M) % query_chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        qmp = jnp.pad(qm, ((0, pad),))
+        n_chunks = (M + pad) // query_chunk
+        qc = qp.reshape(n_chunks, query_chunk, 3)
+        qmc = qmp.reshape(n_chunks, query_chunk)
+        idx, nmask, count = jax.lax.map(
+            lambda args: _chunk_topk(args[0], args[1], s, sm, radius2, k), (qc, qmc)
+        )
+        return (
+            idx.reshape(-1, k)[:M],
+            nmask.reshape(-1, k)[:M],
+            count.reshape(-1)[:M],
+        )
+
+    idx, nmask, count = jax.vmap(per_cloud)(queries, q_mask, sources, s_mask)
+    return Neighborhood(idx=idx, mask=nmask, count=count, radius=float(radius))
+
+
+def self_neighbors(points: Array, mask: Array, radius: float, k: int) -> Neighborhood:
+    """Neighborhood of a point set within itself (used by KDE + sampler)."""
+    return radius_neighbors(points, mask, points, mask, radius, k)

@@ -1,0 +1,60 @@
+"""KDE sample-density estimation for the unbiased Monte-Carlo estimator.
+
+Reference parity (viscom-ulm/MCCNN): ``tf_ops/compute_pdf.*`` (``ComputePDF``)
+— per-neighbor Gaussian KDE with bandwidth ``KDEWindow * radius``
+(SURVEY §2.1/§3.3; mount empty, no file:line).
+
+TPU-native redesign: the reference evaluates the density lazily per neighbor
+*pair*; we instead evaluate the density once **per source point** over its own
+in-level neighborhood (a ``(B, N)`` tensor) and let convolutions gather it.
+This is the same quantity p(y) (the density around sample y at its own level),
+computed once and cached in the hierarchy instead of per conv — strictly less
+work, identical estimator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from jax import Array
+
+from .gather import batched_gather
+from .neighbors import Neighborhood, self_neighbors
+
+
+def kde_density(
+    points: Array,
+    mask: Array,
+    radius: float,
+    *,
+    kde_window: float = 0.25,
+    neighborhood: Neighborhood | None = None,
+    k: int = 32,
+) -> Array:
+    """Gaussian-KDE density of each point within its own point set.
+
+    ``density[b, j] = (1 / (n_j * h^3 * (2*pi)^{3/2})) * sum_k exp(-|y_j - y_k|^2 / (2 h^2))``
+
+    where the sum runs over the in-radius neighbors of ``y_j`` (the point
+    itself included, as in the reference), ``h = kde_window * radius`` and
+    ``n_j`` is the true neighbor count.  Masked-out points get density 1.0 so
+    downstream ``1/pdf`` stays finite (their contributions are masked anyway).
+
+    Args:
+      points: ``(B, N, 3)``; mask ``(B, N)``.
+      radius: neighborhood support radius (the conv radius at this level).
+      kde_window: bandwidth as a fraction of the radius (reference default 0.25).
+      neighborhood: optional precomputed self-neighborhood (else computed here).
+      k: neighbor capacity when computing the self-neighborhood.
+    """
+    if neighborhood is None:
+        neighborhood = self_neighbors(points, mask, radius, k)
+    h = kde_window * float(radius)
+    nbr_pts = batched_gather(points, neighborhood.idx)  # (B, N, K, 3)
+    d2 = jnp.sum((points[:, :, None, :] - nbr_pts) ** 2, axis=-1)
+    kern = jnp.where(neighborhood.mask, jnp.exp(-0.5 * d2 / (h * h)), 0.0)
+    n = jnp.maximum(neighborhood.count.astype(points.dtype), 1.0)
+    norm = 1.0 / (n * (h**3) * (2.0 * math.pi) ** 1.5)
+    density = norm * jnp.sum(kern, axis=-1)
+    return jnp.where(mask, density, 1.0)

@@ -1,0 +1,148 @@
+"""Poisson-disk sampling for point-hierarchy construction.
+
+Reference parity (viscom-ulm/MCCNN): ``tf_ops/poisson_sampling.*``
+(``PoissonSampling`` + ``GetSampledFeatures``) — a CUDA kernel that walks grid
+cells in a serialized coloring pattern and greedily keeps points at pairwise
+distance >= r (SURVEY §2.1/§3.2; mount empty, no file:line).
+
+TPU-native redesign — a *maximal* Poisson-disk selection in exactly 27 fully
+vectorized steps, no per-point serial loop:
+
+  1. Cells of edge ``c = r / sqrt(3)`` (unit-cube grid, static resolution):
+     any two points in the SAME cell are < r apart (cell diagonal == r), so at
+     most one point per cell can ever be selected.
+  2. 27-coloring ``(cx%3, cy%3, cz%3)``: two distinct same-color cells are >= 2
+     cells apart on some axis, i.e. their closest faces are >= 2c = 2r/sqrt(3)
+     > r apart — candidates in distinct same-color cells can NEVER conflict.
+  3. Loop over the 27 colors (``lax.fori_loop``, static trip count). For the
+     current color, each cell's candidate is its minimum-index *uncovered*
+     point ("covered" = within r of an already-selected point, tracked via the
+     precomputed self-neighborhood).  All candidates of the color are accepted
+     simultaneously — same-cell conflicts are impossible (one candidate), and
+     same-color cross-cell conflicts are impossible by (2); conflicts against
+     earlier selections are impossible because candidates are uncovered.
+  4. After the single 27-color sweep the selection is MAXIMAL: when a cell's
+     color comes up, if it still holds an uncovered point, its min-index
+     uncovered point is selected and then covers the whole cell (diameter r).
+
+The result is deterministic (min-index tie-break), pairwise >= r apart, and
+every input point is within r of a selected point — the same invariants as the
+reference's greedy, though not the same subset (accuracy parity, not bit
+parity, across this boundary; SURVEY §7 "hard parts").
+
+Caveat: "covered" is read from a K-capacity truncated neighbor list; if more
+than K points fall within r of a point, coverage can be under-reported and a
+min-distance violation becomes possible in pathological density. Size K to the
+data (tests sweep this).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .gather import batched_gather
+from .grid import cell_color27, cell_coords, grid_res_for_radius, linear_cell_ids
+from .neighbors import Neighborhood, self_neighbors
+
+_SQRT3 = 3.0**0.5
+_BIG_I32 = jnp.int32(2**30)
+
+
+class SampleSet(NamedTuple):
+    """Result of Poisson-disk sampling: a padded subset of the input points.
+
+    Attributes:
+      idx: ``(B, S)`` int32 indices into the input point axis (clipped valid).
+      mask: ``(B, S)`` bool — True for real selections.
+      selected: ``(B, N)`` bool — dense selection flags over the inputs.
+    """
+
+    idx: Array
+    mask: Array
+    selected: Array
+
+
+def poisson_disk(
+    points: Array,
+    mask: Array,
+    radius: float,
+    max_samples: int,
+    *,
+    neighborhood: Neighborhood | None = None,
+    k: int = 48,
+) -> SampleSet:
+    """Maximal Poisson-disk subset with min pairwise distance ``radius``.
+
+    Args:
+      points: ``(B, N, 3)`` in the unit cube (normalize first; see grid.py).
+      mask: ``(B, N)`` validity.
+      radius: Poisson-disk radius (static float).
+      max_samples: static output capacity ``S``; selections beyond it are
+        dropped in index order (size it generously — tests check occupancy).
+      neighborhood: optional precomputed self-neighborhood at ``radius``.
+      k: capacity for the self-neighborhood when computed here.
+    """
+    B, N, _ = points.shape
+    if neighborhood is None:
+        neighborhood = self_neighbors(points, mask, radius, k)
+
+    cell_edge = float(radius) / _SQRT3
+    res = grid_res_for_radius(radius, cell_scale=1.0 / _SQRT3)
+    coords = cell_coords(points, cell_edge, res)  # (B, N, 3)
+    cids = linear_cell_ids(coords, res)  # (B, N)
+    colors = cell_color27(coords)  # (B, N)
+    n_cells = res * res * res
+
+    point_index = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+
+    def per_cloud(cid, color, pmask, nbr_idx, nbr_mask):
+        def body(c, state):
+            selected, covered = state
+            uncovered = pmask & ~covered
+            # Min uncovered index per cell (segment_min over dense cell table).
+            key = jnp.where(uncovered, jnp.arange(N, dtype=jnp.int32), _BIG_I32)
+            cell_min = jax.ops.segment_min(
+                key, cid, num_segments=n_cells, indices_are_sorted=False
+            )
+            is_cell_min = key == cell_min[cid]
+            cand = uncovered & is_cell_min & (color == c) & (key < _BIG_I32)
+            selected = selected | cand
+            # Newly covered: any neighbor (incl. self) selected.
+            nbr_sel = jnp.where(nbr_mask, selected[nbr_idx], False)
+            covered = covered | jnp.any(nbr_sel, axis=-1)
+            return selected, covered
+
+        selected, _ = jax.lax.fori_loop(
+            0,
+            27,
+            body,
+            (jnp.zeros((N,), bool), jnp.zeros((N,), bool)),
+        )
+        return selected
+
+    selected = jax.vmap(per_cloud)(
+        cids, colors, mask, neighborhood.idx, neighborhood.mask
+    )
+
+    # Compact selected flags into (B, S) indices, ascending index order.
+    sort_key = jnp.where(selected, point_index, _BIG_I32)
+    order = jnp.argsort(sort_key, axis=-1)[:, :max_samples].astype(jnp.int32)
+    out_mask = jnp.take_along_axis(sort_key, order, axis=-1) < _BIG_I32
+    idx = jnp.where(out_mask, order, 0)
+    return SampleSet(idx=idx, mask=out_mask, selected=selected)
+
+
+def gather_sampled(values: Array, samples: SampleSet) -> Array:
+    """Gather per-point values (features/points) for a sampled subset.
+
+    Reference parity: ``GetSampledFeatures`` (+ its registered gradient, which
+    is the scatter-add XLA derives automatically for this gather).
+    """
+    out = batched_gather(values, samples.idx)
+    extra_dims = out.ndim - samples.mask.ndim
+    m = samples.mask.reshape(samples.mask.shape + (1,) * extra_dims)
+    return jnp.where(m, out, 0)

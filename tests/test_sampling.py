@@ -1,0 +1,71 @@
+import numpy as np
+import jax.numpy as jnp
+
+from mccnn_tpu.core import gather_sampled, poisson_disk
+
+
+def sample(rng, B=2, N=200, radius=0.15, max_samples=128, masked=0):
+    pts = rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    if masked:
+        mask[:, N - masked :] = False
+    ss = poisson_disk(jnp.asarray(pts), jnp.asarray(mask), radius, max_samples, k=64)
+    return pts, mask, ss
+
+
+def test_min_distance_invariant(rng):
+    pts, mask, ss = sample(rng)
+    idx, smask = np.asarray(ss.idx), np.asarray(ss.mask)
+    for b in range(pts.shape[0]):
+        sel = pts[b, idx[b][smask[b]]]
+        if len(sel) > 1:
+            d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            assert d.min() >= 0.15 - 1e-6, d.min()
+
+
+def test_maximal_coverage(rng):
+    pts, mask, ss = sample(rng)
+    idx, smask = np.asarray(ss.idx), np.asarray(ss.mask)
+    for b in range(pts.shape[0]):
+        sel = pts[b, idx[b][smask[b]]]
+        d = np.linalg.norm(pts[b][mask[b]][:, None] - sel[None, :], axis=-1)
+        assert d.min(-1).max() <= 0.15 + 1e-6
+
+
+def test_masked_points_never_selected(rng):
+    pts, mask, ss = sample(rng, masked=50)
+    selected = np.asarray(ss.selected)
+    assert not selected[~mask].any()
+
+
+def test_deterministic(rng):
+    pts = rng.uniform(0, 1, size=(1, 100, 3)).astype(np.float32)
+    mask = np.ones((1, 100), bool)
+    a = poisson_disk(jnp.asarray(pts), jnp.asarray(mask), 0.2, 64)
+    b = poisson_disk(jnp.asarray(pts), jnp.asarray(mask), 0.2, 64)
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
+def test_large_radius_selects_few(rng):
+    pts, mask, ss = sample(rng, B=1, radius=2.0, max_samples=16)
+    assert np.asarray(ss.mask).sum() == 1  # everything within one disk
+
+
+def test_capacity_truncation(rng):
+    pts = rng.uniform(0, 1, size=(1, 200, 3)).astype(np.float32)
+    mask = np.ones((1, 200), bool)
+    ss = poisson_disk(jnp.asarray(pts), jnp.asarray(mask), 0.05, 8, k=64)
+    m = np.asarray(ss.mask)
+    assert m.sum() == 8  # cap hit; mask well-formed
+    assert np.asarray(ss.idx).max() < 200
+
+
+def test_gather_sampled(rng):
+    pts, mask, ss = sample(rng, B=1)
+    feats = rng.normal(size=(1, 200, 5)).astype(np.float32)
+    g = np.asarray(gather_sampled(jnp.asarray(feats), ss))
+    idx, smask = np.asarray(ss.idx), np.asarray(ss.mask)
+    np.testing.assert_allclose(g[0][smask[0]], feats[0, idx[0][smask[0]]])
+    assert np.all(g[0][~smask[0]] == 0)
