@@ -1,0 +1,78 @@
+"""Convolution builder: cached spatial queries between hierarchy levels.
+
+Reference parity (viscom-ulm/MCCNN): ``utils/MCConvBuilder.py::ConvolutionBuilder``
+(SURVEY §2.2/§3.3) — ``create_convolution`` computes ``find_neighbors`` +
+``compute_pdf`` lazily and caches them keyed by (hierarchy, inLevel, outLevel,
+radius) so stacked convs reuse the spatial queries.
+
+TPU-native redesign: the cache is an explicit trace-time Python dict on a
+plain object (everything it stores is a traced pytree that XLA CSEs anyway —
+the cache mainly keeps the traced graph small and compile times down). The
+conv itself lives in ``models/layers.py`` (a flax module owning the kernel-MLP
+parameters); this object only answers spatial queries."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from jax import Array
+
+from ..core.neighbors import Neighborhood, radius_neighbors
+from ..core.pdf import kde_density
+from .hierarchy import PointHierarchy
+
+
+@dataclass
+class SpatialCache:
+    """Trace-time cache of neighborhoods and KDE pdfs between levels.
+
+    Mirrors the reference's cache semantics: one entry per
+    ``(in_level, out_level, radius)`` for neighborhoods and per
+    ``(level, radius)`` for pdfs (the pdf depends only on the SOURCE level and
+    the bandwidth, reference §3.3).
+    """
+
+    hierarchy: PointHierarchy
+    neighbor_k: int = 32
+    kde_window: float = 0.25
+    pdf_neighbor_k: int = 32
+    _nbh: dict = field(default_factory=dict)
+    _pdf: dict = field(default_factory=dict)
+
+    def neighborhood(
+        self, in_level: int, out_level: int, radius: float, k: int | None = None
+    ) -> Neighborhood:
+        """Neighbors of out-level sample points among in-level source points.
+
+        ``in_level < out_level`` is a down-sampling conv, equal a same-level
+        conv, ``in_level > out_level`` an up-sampling decoder conv — all the
+        same query, exactly like the reference (SURVEY §3.4)."""
+        k = self.neighbor_k if k is None else k
+        key = (in_level, out_level, float(radius), k)
+        if key not in self._nbh:
+            src = self.hierarchy.levels[in_level]
+            dst = self.hierarchy.levels[out_level]
+            k_eff = min(k, src.points.shape[1])
+            self._nbh[key] = radius_neighbors(
+                dst.points, dst.mask, src.points, src.mask, float(radius), k_eff
+            )
+        return self._nbh[key]
+
+    def pdf(self, level: int, radius: float) -> Array:
+        """KDE density of the given level's points at bandwidth
+        ``kde_window * radius`` (reference: ``ComputePDF`` per conv radius)."""
+        key = (level, float(radius))
+        if key not in self._pdf:
+            lvl = self.hierarchy.levels[level]
+            nbh = None
+            if lvl.self_nbh is not None and lvl.self_nbh.radius == float(radius):
+                nbh = lvl.self_nbh
+            self._pdf[key] = kde_density(
+                lvl.points,
+                lvl.mask,
+                float(radius),
+                kde_window=self.kde_window,
+                neighborhood=nbh,
+                k=min(self.pdf_neighbor_k, lvl.points.shape[1]),
+            )
+        return self._pdf[key]

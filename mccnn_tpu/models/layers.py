@@ -1,0 +1,163 @@
+"""Network building blocks (flax.linen).
+
+Reference parity (viscom-ulm/MCCNN): the conv creation half of
+``utils/MCConvBuilder.py::ConvolutionBuilder.create_convolution`` (kernel-MLP
+variables + ``spatial_conv``) and ``utils/MCNetworkUtils.py`` (``fully_connected``,
+``batch_norm_RELU_drop_out``, 1x1 feature-mixing convs) — SURVEY §2.2.
+
+The spatial conv is a flax module so parameters live in the standard flax
+param tree; the spatial queries come from an explicit ``SpatialCache``
+(api/builder.py), keeping modules pure functions of (params, inputs)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from ..api.builder import SpatialCache
+from ..core.mcconv import KERNEL_HIDDEN, MCConvParams, mc_conv
+
+
+class MCConv(nn.Module):
+    """Monte-Carlo spatial convolution between two hierarchy levels.
+
+    ``c_out=None`` → depthwise (the reference's default ``multiFeatureConvs=
+    False`` mode: per-channel kernel weights, channel mixing left to 1x1
+    convs); otherwise a full conv to ``c_out`` channels.
+    ``use_pdf=False`` mirrors the reference's ``usePDF`` flag (density
+    correction off → pdf ≡ 1)."""
+
+    c_in: int
+    c_out: int | None = None
+    hidden: int = KERNEL_HIDDEN
+    use_pdf: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        cache: SpatialCache,
+        in_level: int,
+        out_level: int,
+        radius: float,
+        features: Array,
+    ) -> Array:
+        hierarchy = cache.hierarchy
+        src = hierarchy.levels[in_level]
+        dst = hierarchy.levels[out_level]
+        nbh = cache.neighborhood(in_level, out_level, radius)
+        if self.use_pdf:
+            pdf = cache.pdf(in_level, radius)
+        else:
+            pdf = jnp.ones_like(src.mask, dtype=features.dtype)
+
+        out_dim = self.c_in if self.c_out is None else self.c_in * self.c_out
+        params = MCConvParams(
+            w1=self.param(
+                "kernel_w1", nn.initializers.he_normal(), (3, self.hidden)
+            ),
+            b1=self.param("kernel_b1", nn.initializers.zeros, (self.hidden,)),
+            w2=self.param(
+                "kernel_w2", nn.initializers.he_normal(), (self.hidden, out_dim)
+            ),
+            b2=self.param("kernel_b2", nn.initializers.zeros, (out_dim,)),
+        )
+        out = mc_conv(
+            params, dst.points, nbh, src.points, features, pdf, c_out=self.c_out
+        )
+        return jnp.where(dst.mask[..., None], out, 0.0)
+
+
+class Conv1x1(nn.Module):
+    """Per-point feature mixing (the reference's 1x1 convs in MCNetworkUtils)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Dense(self.features, use_bias=self.use_bias)(x)
+
+
+class BatchNormReluDropout(nn.Module):
+    """BN → ReLU → dropout, masked-aware.
+
+    Reference parity: ``MCNetworkUtils.batch_norm_RELU_drop_out``. TF1 BN used
+    a decaying-momentum schedule; flax BatchNorm has fixed momentum — 0.9
+    default here, configurable (SURVEY §7 'hard parts': BN semantics move
+    accuracy; revisit during parity tuning)."""
+
+    drop_rate: float = 0.0
+    momentum: float = 0.9
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array, train: bool) -> Array:
+        if self.use_bn:
+            x = MaskedBatchNorm(momentum=self.momentum)(x, mask, train)
+        x = nn.relu(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the (batch, point) axes that ignores padded points.
+
+    Plain ``nn.BatchNorm`` would fold zero padding into the statistics; with
+    variable true point counts that skews activations, so moments are computed
+    under the mask explicitly."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array, train: bool) -> Array:
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), x.dtype)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), x.dtype)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask.reshape(-1)[:, None].astype(x.dtype)
+            xf = x.reshape(-1, c)
+            n = jnp.maximum(m.sum(), 1.0)
+            mean = (xf * m).sum(0) / n
+            var = ((xf - mean) ** 2 * m).sum(0) / n
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class FullyConnected(nn.Module):
+    """Dense + optional BN/ReLU/dropout head block (reference
+    ``MCNetworkUtils.fully_connected``)."""
+
+    features: int
+    drop_rate: float = 0.0
+    activation: Callable | None = nn.relu
+    use_bn: bool = True
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.Dense(self.features)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=self.momentum
+            )(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return x

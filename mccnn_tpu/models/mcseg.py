@@ -1,0 +1,94 @@
+"""MCSeg — U-Net-style encoder-decoder for point-cloud segmentation.
+
+Reference parity (viscom-ulm/MCCNN): ``models/MCSeg.py`` (SURVEY §2.2/§3.4):
+4-5 hierarchy levels (radii ~0.025/0.1/0.4/global-ish), encoder of
+down-sampling convs with growing features, decoder of up-sampling convs
+(coarse→fine, the same op with levels reversed) + skip concatenation + 1x1
+mixing, ending in per-point logits. Optional per-cloud category one-hot
+(ShapeNet) is broadcast and concatenated to the input features."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from ..api.builder import SpatialCache
+from ..api.hierarchy import build_hierarchy
+from .layers import BatchNormReluDropout, Conv1x1, MCConv
+
+
+class MCSeg(nn.Module):
+    n_classes: int = 50
+    grow: int = 64
+    radii: tuple[float, ...] = (0.025, 0.1, 0.4)
+    conv_radius_scale: float = 2.0
+    neighbor_k: int = 32
+    drop_rate: float = 0.2
+    use_pdf: bool = True
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(
+        self,
+        points: Array,
+        mask: Array,
+        features: Array | None = None,
+        category_onehot: Array | None = None,  # (B, n_categories) for ShapeNet
+        *,
+        train: bool = False,
+    ) -> Array:
+        B, N, _ = points.shape
+        if features is None:
+            features = jnp.ones((B, N, 1), points.dtype)
+        if category_onehot is not None:
+            cat = jnp.broadcast_to(
+                category_onehot[:, None, :], (B, N, category_onehot.shape[-1])
+            ).astype(features.dtype)
+            features = jnp.concatenate([features, cat], axis=-1)
+
+        hier = build_hierarchy(
+            points, mask, self.radii, neighbor_k=self.neighbor_k, global_level=False
+        )
+        cache = SpatialCache(hier, neighbor_k=self.neighbor_k)
+        g = self.grow
+        n_levels = len(hier)
+        widths = [g * (2**i) for i in range(n_levels - 1)]  # per encoder level
+
+        # Stem at full resolution.
+        x = MCConv(
+            c_in=features.shape[-1], c_out=g, use_pdf=self.use_pdf, name="stem"
+        )(cache, 0, 0, self.radii[0], features)
+        x = BatchNormReluDropout(momentum=self.bn_momentum)(x, mask, train)
+
+        skips = [x]
+        for lvl in range(n_levels - 1):
+            radius = self.radii[lvl] * self.conv_radius_scale
+            out_mask = hier.levels[lvl + 1].mask
+            x = MCConv(
+                c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
+                name=f"enc_{lvl}_{lvl + 1}",
+            )(cache, lvl, lvl + 1, radius, x)
+            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = Conv1x1(widths[lvl] * 2, name=f"enc_mix_{lvl + 1}")(x)
+            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            if lvl + 1 < n_levels - 1:
+                skips.append(x)
+
+        for lvl in range(n_levels - 2, -1, -1):
+            radius = self.radii[lvl] * self.conv_radius_scale
+            out_mask = hier.levels[lvl].mask
+            x = MCConv(
+                c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
+                name=f"dec_{lvl + 1}_{lvl}",
+            )(cache, lvl + 1, lvl, radius, x)
+            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = jnp.concatenate([x, skips[lvl]], axis=-1)
+            x = Conv1x1(max(x.shape[-1] // 2, g), name=f"dec_mix_{lvl}")(x)
+            x = BatchNormReluDropout(
+                momentum=self.bn_momentum,
+                drop_rate=self.drop_rate if lvl == 0 else 0.0,
+            )(x, out_mask, train)
+
+        logits = nn.Dense(self.n_classes, name="logits")(x)
+        return jnp.where(mask[..., None], logits, 0.0)
