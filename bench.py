@@ -1,0 +1,94 @@
+"""Benchmark: Monte-Carlo conv throughput per chip (the BASELINE north-star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: depthwise MC-conv (the reference's default ``multiFeatureConvs=
+False`` mode — SURVEY §2.1 ``spatial_conv``), fwd+bwd, C=128 features, K=32
+neighbor capacity, B*M = 8192 sample points per layer application at
+N = 1024 sources/cloud — the ModelNet40-scale hot-loop configuration.
+
+Methodology: the op is chained through ``lax.scan`` (each iteration's grads
+feed the next iteration's features) so one device program amortizes the
+~30 ms host→TPU dispatch overhead of this environment and timing reflects
+steady-state per-layer cost, serialized by true data dependencies.
+
+``vs_baseline``: BASELINE.json ships ``published: {}`` — the CUDA reference
+publishes no op throughput and no CUDA GPU exists here to measure one.  We use
+a documented ESTIMATE of 30 Mpoints/s fwd+bwd for the reference's
+``spatial_conv`` on its 2018 single-GPU setup (SURVEY §6); the BASELINE
+target is vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+CUDA_BASELINE_ESTIMATE_MPOINTS = 30.0
+
+B, N, M, K, C = 8, 1024, 1024, 32, 128
+CHAIN = 30
+RADIUS = 0.2
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.core import init_mcconv_params, mc_conv, radius_neighbors
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
+    mask = jnp.asarray(np.ones((B, N), bool))
+    feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    pdf = jnp.asarray(np.ones((B, N), np.float32))
+    params = init_mcconv_params(jax.random.PRNGKey(0), C, None)
+
+    nbh = radius_neighbors(pts, mask, pts, mask, RADIUS, K)
+
+    def loss(p, f):
+        return jnp.sum(mc_conv(p, pts, nbh, pts, f, pdf) ** 2)
+
+    grad_f = jax.grad(loss, argnums=1)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(p, f, n):
+        def body(carry, _):
+            g = grad_f(p, carry)  # fwd + bwd, serialized through the carry
+            return carry + 1e-6 * g, 0
+
+        out, _ = jax.lax.scan(body, f, None, length=n)
+        return out.sum()
+
+    # Warm up (compile) and then time; repeat for stability, take the best.
+    float(chain(params, feats, CHAIN))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chain(params, feats, CHAIN))
+        best = min(best, (time.perf_counter() - t0) / CHAIN)
+
+    mpoints = B * M / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "mcconv_depthwise_fwdbwd_throughput",
+                "value": round(mpoints, 1),
+                "unit": "Mpoints/s/chip",
+                "vs_baseline": round(mpoints / CUDA_BASELINE_ESTIMATE_MPOINTS, 2),
+            }
+        )
+    )
+    print(
+        f"# config B={B} N={N} M={M} K={K} C={C} chain={CHAIN} "
+        f"per-layer fwd+bwd {best * 1e3:.3f} ms on {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,18 +81,34 @@ def _conv_chunk(
     radius: Array,
     c_out: int | None,
 ) -> Array:
+    """Bilinearly factorized MC-conv chunk.
+
+    Naively, ``out = sum_k (h_k @ W2 + b2) * f_k`` materializes a per-neighbor
+    weight tensor of size (m, K, C[, Cout]) — on TPU that is the dominant HBM
+    traffic (and for the full conv a multi-GB intermediate XLA cannot fuse
+    away). Since the expression is bilinear in (hidden activations h, gathered
+    features f), we contract over the neighbor axis FIRST:
+
+      G[m, h', c] = sum_k A[m, k, h'] * f[m, k, c],   A = [relu(off@W1+b1), 1]*mask
+
+    and only then apply (W2, b2) — shrinking the big intermediate from
+    (m, K, C*Cout) to (m, (H+1), C) and turning the rest into small matmuls.
+    Exact same math, orders of magnitude less memory."""
     offsets = (source_pts[nbr_idx] - samples[:, None, :]) / radius  # (m,K,3)
     h = jax.nn.relu(offsets @ params.w1 + params.b1)  # (m,K,H)
-    w = h @ params.w2 + params.b2  # (m,K,Cin[*Cout])
-    f = weighted_feats[nbr_idx]  # (m,K,Cin)
-    m = nbr_mask[..., None].astype(f.dtype)
+    f = weighted_feats[nbr_idx]  # (m,K,C)
+    m = nbr_mask.astype(f.dtype)
+    A = jnp.concatenate([h, jnp.ones_like(h[..., :1])], axis=-1) * m[..., None]
+    G = jnp.einsum("mkh,mkc->mhc", A, f)  # (m,H+1,C)
+    c_in = f.shape[-1]
+    H = params.w1.shape[-1]
     if c_out is None:
-        contrib = w * f * m  # depthwise
-        out = jnp.sum(contrib, axis=1)  # (m,Cin)
+        # depthwise: w2 (H, C), b2 (C)
+        out = jnp.einsum("mhc,hc->mc", G[:, :H, :], params.w2) + G[:, H, :] * params.b2
     else:
-        c_in = f.shape[-1]
-        w = w.reshape(w.shape[0], w.shape[1], c_in, c_out)
-        out = jnp.einsum("mkc,mkco->mo", f * m, w)
+        w2 = params.w2.reshape(H, c_in, c_out)
+        b2 = params.b2.reshape(c_in, c_out)
+        out = jnp.einsum("mhc,hco->mo", G[:, :H, :], w2) + G[:, H, :] @ b2
     return out * inv_count[:, None]
 
 
