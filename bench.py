@@ -40,6 +40,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from mccnn_tpu.core import init_mcconv_params, mc_conv, radius_neighbors
+    from mccnn_tpu.core.buckets import build_buckets
+    from mccnn_tpu.ops.pallas import bucket_mc_conv
 
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
@@ -49,28 +51,40 @@ def main() -> None:
     params = init_mcconv_params(jax.random.PRNGKey(0), C, None)
 
     nbh = radius_neighbors(pts, mask, pts, mask, RADIUS, K)
+    grid = build_buckets(pts, mask, RADIUS, cap=16)
 
-    def loss(p, f):
-        return jnp.sum(mc_conv(p, pts, nbh, pts, f, pdf) ** 2)
+    def timed(conv_fn):
+        def loss(p, f):
+            return jnp.sum(conv_fn(p, f) ** 2)
 
-    grad_f = jax.grad(loss, argnums=1)
+        grad_f = jax.grad(loss, argnums=1)
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def chain(p, f, n):
-        def body(carry, _):
-            g = grad_f(p, carry)  # fwd + bwd, serialized through the carry
-            return carry + 1e-6 * g, 0
+        @functools.partial(jax.jit, static_argnums=2)
+        def chain(p, f, n):
+            def body(carry, _):
+                g = grad_f(p, carry)  # fwd+bwd, serialized through the carry
+                return carry + 1e-6 * g, 0
 
-        out, _ = jax.lax.scan(body, f, None, length=n)
-        return out.sum()
+            out, _ = jax.lax.scan(body, f, None, length=n)
+            return out.sum()
 
-    # Warm up (compile) and then time; repeat for stability, take the best.
-    float(chain(params, feats, CHAIN))
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(chain(params, feats, CHAIN))
-        best = min(best, (time.perf_counter() - t0) / CHAIN)
+        float(chain(params, feats, CHAIN))  # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(chain(params, feats, CHAIN))
+            best = min(best, (time.perf_counter() - t0) / CHAIN)
+        return best
+
+    best_jnp = timed(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
+    best_pallas = timed(
+        lambda p, f: bucket_mc_conv(p, grid, mask, grid, f, pdf)
+    )
+    best = min(best_jnp, best_pallas)
+    print(
+        f"# jnp {best_jnp * 1e3:.3f} ms | pallas {best_pallas * 1e3:.3f} ms",
+        file=sys.stderr,
+    )
 
     mpoints = B * M / best / 1e6
     print(

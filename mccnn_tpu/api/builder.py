@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 
 from jax import Array
 
+from ..core.buckets import BucketGrid, build_buckets, default_cap
 from ..core.neighbors import Neighborhood, radius_neighbors
 from ..core.pdf import kde_density
 from .hierarchy import PointHierarchy
@@ -36,8 +37,10 @@ class SpatialCache:
     neighbor_k: int = 32
     kde_window: float = 0.25
     pdf_neighbor_k: int = 32
+    bucket_cap: int | None = None  # None -> per-level heuristic
     _nbh: dict = field(default_factory=dict)
     _pdf: dict = field(default_factory=dict)
+    _buckets: dict = field(default_factory=dict)
 
     def neighborhood(
         self, in_level: int, out_level: int, radius: float, k: int | None = None
@@ -57,6 +60,18 @@ class SpatialCache:
                 dst.points, dst.mask, src.points, src.mask, float(radius), k_eff
             )
         return self._nbh[key]
+
+    def buckets(self, level: int, radius: float) -> BucketGrid:
+        """Cell-bucket layout of a level at cell edge == conv radius (for the
+        fused Pallas conv; see ops/pallas/mcconv_kernel.py)."""
+        key = (level, float(radius))
+        if key not in self._buckets:
+            lvl = self.hierarchy.levels[level]
+            cap = self.bucket_cap or default_cap(lvl.points.shape[1], float(radius))
+            self._buckets[key] = build_buckets(
+                lvl.points, lvl.mask, float(radius), cap
+            )
+        return self._buckets[key]
 
     def pdf(self, level: int, radius: float) -> Array:
         """KDE density of the given level's points at bandwidth

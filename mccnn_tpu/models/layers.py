@@ -19,6 +19,8 @@ from jax import Array
 
 from ..api.builder import SpatialCache
 from ..core.mcconv import KERNEL_HIDDEN, MCConvParams, mc_conv
+from ..ops.dispatch import use_pallas
+from ..ops.pallas import bucket_mc_conv
 
 
 class MCConv(nn.Module):
@@ -47,7 +49,6 @@ class MCConv(nn.Module):
         hierarchy = cache.hierarchy
         src = hierarchy.levels[in_level]
         dst = hierarchy.levels[out_level]
-        nbh = cache.neighborhood(in_level, out_level, radius)
         if self.use_pdf:
             pdf = cache.pdf(in_level, radius)
         else:
@@ -64,9 +65,22 @@ class MCConv(nn.Module):
             ),
             b2=self.param("kernel_b2", nn.initializers.zeros, (out_dim,)),
         )
-        out = mc_conv(
-            params, dst.points, nbh, src.points, features, pdf, c_out=self.c_out
-        )
+        if use_pallas(src.points.shape[1], radius, self.c_in, self.c_out):
+            out = bucket_mc_conv(
+                params,
+                cache.buckets(out_level, radius),
+                dst.mask,
+                cache.buckets(in_level, radius),
+                features,
+                pdf,
+                c_out=self.c_out,
+            )
+        else:
+            nbh = cache.neighborhood(in_level, out_level, radius)
+            out = mc_conv(
+                params, dst.points, nbh, src.points, features, pdf,
+                c_out=self.c_out,
+            )
         return jnp.where(dst.mask[..., None], out, 0.0)
 
 

@@ -1,0 +1,116 @@
+"""Native (C++) host-path helpers, loaded via ctypes.
+
+The shared library is built lazily on first import with g++ (cached next to
+the source); when no toolchain is available everything falls back to numpy,
+so the package never hard-depends on the binary."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastparse.cpp")
+_SO = os.path.join(_DIR, "libmccnn_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError) as e:  # pragma: no cover
+        print(f"mccnn_tpu.native: build failed ({e}); numpy fallback", file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:  # pragma: no cover
+        _lib = False
+        return _lib
+    lib.mccnn_count_floats.restype = ctypes.c_long
+    lib.mccnn_count_floats.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.mccnn_parse_floats.restype = ctypes.c_long
+    lib.mccnn_parse_floats.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.mccnn_parse_ints.restype = ctypes.c_long
+    lib.mccnn_parse_ints.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_long,
+    ]
+    lib.mccnn_count_rows.restype = ctypes.c_long
+    lib.mccnn_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return bool(_load())
+
+
+def fast_parse_floats(data: bytes, delimiter: str | None = None) -> np.ndarray:
+    """Parse an ascii float table into an (n_rows, n_cols) float32 array.
+
+    ``delimiter`` is ignored (the scanner accepts comma/space/tab/semicolon
+    interchangeably); kept for API compatibility with numpy call sites."""
+    lib = _load()
+    if not lib:
+        import io as _io
+
+        return np.loadtxt(
+            _io.BytesIO(data),
+            delimiter="," if delimiter == "," else None,
+            dtype=np.float32,
+            ndmin=2,
+        )
+    buf = data + b"\0"
+    n = lib.mccnn_count_floats(buf, len(data))
+    rows = lib.mccnn_count_rows(buf, len(data))
+    out = np.empty(n, np.float32)
+    got = lib.mccnn_parse_floats(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+    )
+    out = out[:got]
+    if rows > 0 and got % rows == 0:
+        return out.reshape(rows, got // rows)
+    return out.reshape(1, -1) if got else out.reshape(0, 0)
+
+
+def fast_parse_ints(data: bytes) -> np.ndarray:
+    """Parse whitespace-separated ints (ShapeNet .seg files)."""
+    lib = _load()
+    if not lib:
+        import io as _io
+
+        return np.loadtxt(_io.BytesIO(data), dtype=np.int32).reshape(-1)
+    buf = data + b"\0"
+    n = lib.mccnn_count_floats(buf, len(data))
+    out = np.empty(n, np.int32)
+    got = lib.mccnn_parse_ints(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n
+    )
+    return out[:got]

@@ -1,0 +1,768 @@
+"""Fused bucket-dense Monte-Carlo convolution — the framework's hot Pallas op.
+
+Reference parity (viscom-ulm/MCCNN): ``tf_ops/spatial_conv.*`` (``SpatialConv``
++ ``SpatialConvGrad``, SURVEY §2.1) — but redesigned for the TPU memory model
+instead of translated:
+
+* The CUDA kernel walks a CSR neighbor list and does per-neighbor global-memory
+  gathers + atomicAdd backward. TPUs have neither efficient arbitrary gathers
+  nor atomics, so here BOTH point sets live in a dense ghost-padded cell-bucket
+  layout (core/buckets.py) and the kernel touches memory only through dense,
+  lane-aligned async DMAs.
+* Each grid step processes a 2x2x2 BLOCK of sample cells (block-major sample
+  layout, built by a static permutation of the z-major bucket rows): with cell
+  capacity 16 that is 128 samples per step — full MXU-width matmuls — and the
+  source window is the surrounding 4x4x4 cells, fetched as 16 contiguous
+  z-runs per operand. Window DMAs are double-buffered across grid steps so
+  DMA latency hides behind MXU work.
+* Per-pair kernel-MLP work is bilinearly factorized (see core/mcconv.py):
+  ``pre_h[p, s] = (cand_p - smp_s)/r . W1_h + b1_h = cw_h[p] - sw_h[s] + b1_h``
+  splits into per-point projections, so each hidden unit h contributes one
+  dense MXU matmul ``G_h = relu(pre_h)^T @ feats`` over the shared candidate
+  window — no (pairs, C) tensor ever exists, in HBM *or* VMEM.
+* Distances are computed per-axis on the VPU from a transposed sample-position
+  block (exact f32 — no bf16 matmul passes near the radius boundary, and no
+  HIGHEST-precision matmul cost).
+* Features run in bf16 on the MXU with f32 accumulation (standard practice).
+* Backward needs no atomics: d/dfeatures runs a second pass gridded over
+  SOURCE cell blocks (each source slot is written exactly once —
+  deterministic, bitwise-reproducible gradients, unlike the reference's
+  atomicAdd); parameter gradients accumulate into a constant-index output
+  block across grid steps.
+
+Point positions are not differentiated (positions are data, not parameters —
+same as the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.buckets import BucketGrid, bucketize
+from ...core.mcconv import MCConvParams
+
+_HI = jax.lax.Precision.HIGHEST
+LANE = 128
+CNT_LANE = 3  # lane of the backward meta array carrying the neighbor count
+FEAT_DTYPE = jnp.bfloat16
+W1_ROWS = 8  # xyz in rows 0..2, zeros elsewhere (row 3 guards the |p|^2 slot)
+
+
+class _Spec(NamedTuple):
+    """Static kernel configuration (all dims pre-padded to TPU tiles)."""
+
+    R: int  # real grid resolution (cells per axis; EVEN)
+    CP: int  # source cell capacity (multiple of 8)
+    CS: int  # sample cell capacity (multiple of 8)
+    C: int  # input channels (multiple of 128)
+    CO: int | None  # None => depthwise; else multiple of 128
+    H: int  # kernel-MLP hidden width
+    radius: float
+    interpret: bool
+
+    @property
+    def nb(self) -> int:  # 2x2x2 cell blocks per axis
+        return self.R // 2
+
+    @property
+    def SB(self) -> int:  # samples per block
+        return 8 * self.CS
+
+    @property
+    def PB(self) -> int:  # sources per block (dfeat pass)
+        return 8 * self.CP
+
+    @property
+    def WIN_P(self) -> int:  # source-window rows in fwd/dparam
+        return 64 * self.CP
+
+    @property
+    def WIN_Q(self) -> int:  # sample-window rows in dfeat
+        return 64 * self.CS
+
+
+# ----------------------------------------------------------------------------
+# Static layout permutations (python/numpy; become jnp constants)
+# ----------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _block_perm(R: int, cap: int) -> tuple:
+    """Block-major row -> z-major ghost-padded row (static permutation).
+
+    Block-major layout: for each 2x2x2 block (x-major), its 8 cells (x-major
+    within the block), each with ``cap`` slots."""
+    assert R % 2 == 0
+    Rp, nb = R + 2, R // 2
+    rows = np.empty(nb**3 * 8 * cap, np.int32)
+    i = 0
+    for bx in range(nb):
+        for by in range(nb):
+            for bz in range(nb):
+                for dx in range(2):
+                    for dy in range(2):
+                        for dz in range(2):
+                            cx, cy, cz = 2 * bx + dx, 2 * by + dy, 2 * bz + dz
+                            pid = ((cx + 1) * Rp + (cy + 1)) * Rp + (cz + 1)
+                            rows[i : i + cap] = np.arange(
+                                pid * cap, (pid + 1) * cap, dtype=np.int32
+                            )
+                            i += cap
+    return tuple(rows.tolist())
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_block_perm(R: int, cap: int) -> tuple:
+    """z-major ghost-padded row -> block-major row (ghost rows -> n_blk_rows,
+    i.e. one past the end, used as a trash marker)."""
+    Rp = R + 2
+    perm = np.asarray(_block_perm(R, cap), np.int32)
+    inv = np.full(Rp**3 * cap, len(perm), np.int32)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    return tuple(inv.tolist())
+
+
+def _to_block_major(x: Array, R: int, cap: int) -> Array:
+    perm = jnp.asarray(_block_perm(R, cap), jnp.int32)
+    return x[:, perm]
+
+
+def _from_block_major_slots(grid: BucketGrid, R: int, cap: int) -> Array:
+    """Per-point slot index into the BLOCK-major layout (B, N)."""
+    inv = jnp.asarray(_inv_block_perm(R, cap), jnp.int32)
+    slot = jnp.minimum(grid.slot_of_point, inv.shape[0] - 1)
+    return inv[slot]
+
+
+def _transposed_meta(blk_pos: Array, spec_cap: int, nb: int) -> Array:
+    """(B, n_blk_rows, 128) block-major positions -> (B, nb^3*8, 8*cap) with
+    rows 0..2 = xyz, row 3 = |p|^2, rows 4..7 = 0 (per block, transposed)."""
+    B = blk_pos.shape[0]
+    S = 8 * spec_cap
+    p = blk_pos.reshape(B, nb**3, S, LANE)[..., :3]  # (B, nb3, S, 3)
+    sq = jnp.sum(p * p, axis=-1, keepdims=True)
+    t = jnp.concatenate([p, sq, jnp.zeros_like(p), jnp.zeros_like(sq)], axis=-1)
+    # (B, nb3, S, 8) -> (B, nb3, 8, S)
+    t = jnp.swapaxes(t, -1, -2)
+    return t.reshape(B, nb**3 * 8, S)
+
+
+# ----------------------------------------------------------------------------
+# In-kernel helpers
+# ----------------------------------------------------------------------------
+
+
+def _split_step(s, n_blocks):
+    if isinstance(s, int):
+        return s // n_blocks, s % n_blocks
+    n = jnp.int32(n_blocks)
+    return jax.lax.div(s, n), jax.lax.rem(s, n)
+
+
+def _block_xyz(blk, nb):
+    div, rem = jax.lax.div, jax.lax.rem
+    nb = jnp.int32(nb)
+    return div(blk, nb * nb), rem(div(blk, nb), nb), rem(blk, nb)
+
+
+def _issue(step, spec, cap, pairs, sems, slot, wait):
+    """Start (or wait for) the 16 window DMAs per operand for flat ``step``."""
+    Rp, nb = spec.R + 2, spec.nb
+    b, blk = _split_step(step, nb**3)
+    bx, by, bz = _block_xyz(blk, nb)
+    run = 4 * cap
+    n = len(pairs)
+    for i, (dx, dy) in enumerate((dx, dy) for dx in range(4) for dy in range(4)):
+        row0 = (((2 * bx + dx) * Rp) + (2 * by + dy)) * Rp * cap + 2 * bz * cap
+        for j, (hbm, scratch) in enumerate(pairs):
+            cpy = pltpu.make_async_copy(
+                hbm.at[b, pl.ds(row0, run), :],
+                scratch.at[slot, pl.ds(i * run, run), :],
+                sems.at[slot, n * i + j],
+            )
+            if wait:
+                cpy.wait()
+            else:
+                cpy.start()
+
+
+def _double_buffered(step, n_steps, spec, cap, pairs, sems):
+    """Cross-step double buffering; returns the buffer slot for this step."""
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _prologue():
+        _issue(step, spec, cap, pairs, sems, slot, wait=False)
+
+    _issue(step, spec, cap, pairs, sems, slot, wait=True)
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch():
+        _issue(step + 1, spec, cap, pairs, sems, 1 - slot, wait=False)
+
+    return slot
+
+
+def _sq_norm(x):
+    return jnp.sum(x * x, axis=-1, keepdims=True)
+
+
+def _lane_mask(shape, lane):
+    ids = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+    return ids == lane
+
+
+def _pair_d2(cand, meta_t):
+    """Exact f32 distances on the VPU: cand (P, 128) vs transposed sample meta
+    (8, S) -> d2 (P, S)."""
+    cand2 = _sq_norm(cand)  # (P, 1)
+    cx, cy, cz = cand[:, 0:1], cand[:, 1:2], cand[:, 2:3]
+    sx, sy, sz = meta_t[0:1, :], meta_t[1:2, :], meta_t[2:3, :]
+    s2 = meta_t[3:4, :]
+    return cand2 + s2 - 2.0 * (cx * sx + cy * sy + cz * sz)
+
+
+def _mm(a, b, dims):
+    """bf16 matmul with f32 accumulation (feature-path precision)."""
+    return jax.lax.dot_general(
+        a.astype(FEAT_DTYPE),
+        b.astype(FEAT_DTYPE),
+        (dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    spec: _Spec,
+    n_steps: int,
+    smp_t_ref,  # (1, 8, SB) VMEM — transposed sample positions (+|s|^2)
+    src_pos_hbm,  # (B, S_src, 128) f32 ANY (z-major ghosted)
+    src_feat_hbm,  # (B, S_src, C) bf16 ANY (z-major ghosted)
+    w1_ref,  # (8, H) — rows 0..2 real, rest zeros
+    b1_ref,  # (H, 1)
+    w2_ref,  # depthwise (H, C) | full (H, C, CO)
+    b2_ref,  # depthwise (1, C) | full (C, CO)
+    out_ref,  # (1, SB, C') block-major
+    cnt_ref,  # (1, SB, 1) block-major
+    cand_pos,  # scratch (2, WIN_P, 128) f32
+    cand_feat,  # scratch (2, WIN_P, C) bf16
+    sems,  # (2, 32)
+):
+    step = pl.program_id(0)
+    pairs = ((src_pos_hbm, cand_pos), (src_feat_hbm, cand_feat))
+    slot = _double_buffered(step, n_steps, spec, spec.CP, pairs, sems)
+
+    smp_t = smp_t_ref[0]  # (8, SB)
+    cand = cand_pos[slot]  # (P, 128)
+    d2 = _pair_d2(cand, smp_t)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)  # (P, S)
+    cnt = jnp.sum(maskf, axis=0)  # (S,)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+
+    inv_r = 1.0 / spec.radius
+    cw = (
+        jnp.dot(cand[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (P, H)
+    swT = (
+        jax.lax.dot_general(
+            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, S)
+    fz = cand_feat[slot]  # (P, C) bf16
+
+    CO = spec.C if spec.CO is None else spec.CO
+    acc = jnp.zeros((spec.SB, CO), jnp.float32)
+    for h in range(spec.H):
+        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
+        a_h = jnp.maximum(pre, 0.0) * maskf  # (P, S)
+        g_h = _mm(a_h, fz, ((0,), (0,)))  # (S, C)
+        if spec.CO is None:
+            acc += g_h * w2_ref[h : h + 1, :]
+        else:
+            acc += jnp.dot(g_h, w2_ref[h], preferred_element_type=jnp.float32)
+    g_0 = _mm(maskf, fz, ((0,), (0,)))
+    if spec.CO is None:
+        acc += g_0 * b2_ref[:]
+    else:
+        acc += jnp.dot(g_0, b2_ref[:], preferred_element_type=jnp.float32)
+
+    out_ref[0] = acc * inv[:, None]
+    cnt_ref[0] = cnt[:, None]
+
+
+# ----------------------------------------------------------------------------
+# Backward: d/d(weighted features) — gridded over SOURCE cell blocks
+# ----------------------------------------------------------------------------
+
+
+def _dfeat_kernel(
+    spec: _Spec,
+    n_steps: int,
+    src_t_ref,  # (1, 8, PB) VMEM — transposed source positions (+|p|^2)
+    smp_meta_hbm,  # (B, S_smp, 128) ANY — lanes 0..2 pos, lane 3 cnt (z-major)
+    dout_hbm,  # (B, S_smp, C') bf16 ANY (z-major ghosted)
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    dfeat_ref,  # (1, PB, C) f32 block-major
+    wmeta,  # scratch (2, WIN_Q, 128) f32
+    wdout,  # scratch (2, WIN_Q, C') bf16
+    sems,  # (2, 32)
+):
+    step = pl.program_id(0)
+    pairs = ((smp_meta_hbm, wmeta), (dout_hbm, wdout))
+    slot = _double_buffered(step, n_steps, spec, spec.CS, pairs, sems)
+
+    src_t = src_t_ref[0]  # (8, PB)
+    meta = wmeta[slot]  # (Q, 128)
+    is_cnt = _lane_mask(meta.shape, CNT_LANE)
+    q = jnp.where(is_cnt, 0.0, meta)  # positions only
+    wc = jnp.sum(jnp.where(is_cnt, meta, 0.0), axis=1, keepdims=True)  # (Q, 1)
+
+    # Orientation: q(samples) = sublanes, p(this block's sources) = lanes.
+    d2 = _pair_d2(q, src_t)  # (Q, PB)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+
+    inv_r = 1.0 / spec.radius
+    cwq = (
+        jnp.dot(q[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (Q, H)
+    spT = (
+        jax.lax.dot_general(
+            w1_ref[:], src_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, PB)
+
+    # cnt windows can cover ghost cells the fwd kernel never wrote: treat any
+    # garbage (uninitialized / NaN) as empty. dout ghost rows are true zeros
+    # (they come from a scatter), so zeroing inv suffices.
+    inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
+    invdout = wdout[slot].astype(jnp.float32) * inv_cnt  # (Q, C')
+
+    acc = jnp.zeros((spec.PB, spec.C), jnp.float32)
+    for h in range(spec.H):
+        # offset = src_p - smp_q  =>  pre_h[q, p] = spT[h, p] - cwq[q, h] + b1
+        pre = spT[h : h + 1, :] - cwq[:, h : h + 1] + b1_ref[h, 0]
+        a_h = jnp.maximum(pre, 0.0) * maskf  # (Q, PB)
+        if spec.CO is None:
+            t_h = invdout * w2_ref[h : h + 1, :]  # (Q, C)
+        else:
+            t_h = jax.lax.dot_general(
+                invdout, w2_ref[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Q, C)
+        acc += _mm(a_h, t_h, ((0,), (0,)))  # (PB, C)
+    if spec.CO is None:
+        t_0 = invdout * b2_ref[:]
+    else:
+        t_0 = jax.lax.dot_general(
+            invdout, b2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += _mm(maskf, t_0, ((0,), (0,)))
+    dfeat_ref[0] = acc
+
+
+# ----------------------------------------------------------------------------
+# Backward: d/d(params) — gridded over SAMPLE cell blocks, accumulated
+# ----------------------------------------------------------------------------
+
+
+def _dparam_kernel(
+    spec: _Spec,
+    n_steps: int,
+    smp_t_ref,  # (1, 8, SB)
+    dout_ref,  # (1, SB, C') f32 block-major (BlockSpec-pipelined)
+    src_pos_hbm,
+    src_feat_hbm,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    dw1_ref,  # (8, H) accumulated; rows 3.. stay zero-meaningful
+    db1_ref,  # (H, 1)
+    dw2_ref,  # (H, C) | (H, C, CO)
+    db2_ref,  # (1, C) | (C, CO)
+    cand_pos,
+    cand_feat,
+    sems,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    pairs = ((src_pos_hbm, cand_pos), (src_feat_hbm, cand_feat))
+    slot = _double_buffered(step, n_steps, spec, spec.CP, pairs, sems)
+
+    smp_t = smp_t_ref[0]
+    cand = cand_pos[slot]
+    d2 = _pair_d2(cand, smp_t)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+    cnt = jnp.sum(maskf, axis=0)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    invdout = dout_ref[0] * inv[:, None]  # (S, C')
+
+    inv_r = 1.0 / spec.radius
+    cand8 = cand[:, :W1_ROWS]
+    cw = jnp.dot(cand8, w1_ref[:], preferred_element_type=jnp.float32) * inv_r
+    swT = (
+        jax.lax.dot_general(
+            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )
+    fz = cand_feat[slot]  # bf16
+
+    for h in range(spec.H):
+        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
+        relu_on = (pre > 0.0).astype(jnp.float32) * maskf  # (P, S)
+        a_h = jnp.maximum(pre, 0.0) * maskf
+        g_h = _mm(a_h, fz, ((0,), (0,)))  # (S, C)
+        if spec.CO is None:
+            dw2_ref[h : h + 1, :] += jnp.sum(invdout * g_h, axis=0, keepdims=True)
+            u_h = invdout * w2_ref[h : h + 1, :]  # (S, C)
+        else:
+            dw2_ref[h] += jax.lax.dot_general(
+                g_h, invdout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, CO)
+            u_h = jax.lax.dot_general(
+                invdout, w2_ref[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S, C)
+        da_h = _mm(fz, u_h, ((1,), (1,)))  # (P, S)
+        dpre = da_h * relu_on
+        rp = jnp.sum(dpre, axis=1, keepdims=True)  # (P, 1)
+        rs = jnp.sum(dpre, axis=0, keepdims=True)  # (1, S)
+        # d/dW1 column h: sum over pairs of dpre * offset/r, split into the
+        # candidate-side and sample-side projections (exact, f32).
+        t1 = jax.lax.dot_general(
+            cand8, rp, (((0,), (0,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        t2 = jax.lax.dot_general(
+            smp_t, rs, (((1,), (1,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        # accumulate straight into the output refs (static slices; the
+        # functional value.at[].add lowers to an unsupported scatter-add)
+        dw1_ref[:, h : h + 1] += (t1 - t2) * inv_r
+        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
+
+    g_0 = _mm(maskf, fz, ((0,), (0,)))  # (S, C)
+    if spec.CO is None:
+        db2_ref[:] += jnp.sum(invdout * g_0, axis=0, keepdims=True)
+    else:
+        db2_ref[:] += jax.lax.dot_general(
+            g_0, invdout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+# ----------------------------------------------------------------------------
+# pallas_call wrappers (block space)
+# ----------------------------------------------------------------------------
+
+
+def _blk_ix(nb):
+    def ix(s):
+        b, blk = _split_step(s, nb**3)
+        return (b, blk, 0)
+
+    return ix
+
+
+def _fwd_call(spec: _Spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
+    nb = spec.nb
+    ix = _blk_ix(nb)
+    CO = spec.C if spec.CO is None else spec.CO
+    n_steps = B * nb**3
+    n_blk_rows = nb**3 * spec.SB
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    out, cnt = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec, n_steps),
+        grid=(n_steps,),
+        in_specs=[
+            vm((1, 8, spec.SB), ix),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vm(),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[vm((1, spec.SB, CO), ix), vm((1, spec.SB, 1), ix)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_blk_rows, CO), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_blk_rows, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, spec.WIN_P, LANE), jnp.float32),
+            pltpu.VMEM((2, spec.WIN_P, spec.C), FEAT_DTYPE),
+            pltpu.SemaphoreType.DMA((2, 32)),
+        ],
+        interpret=spec.interpret,
+    )(smp_t, src_pos, src_feat, w1, b1, w2, b2)
+    return out, cnt
+
+
+def _dfeat_call(spec: _Spec, B, src_t, smp_meta, dout, w1, b1, w2, b2):
+    nb = spec.nb
+    ix = _blk_ix(nb)
+    CO = spec.C if spec.CO is None else spec.CO
+    n_steps = B * nb**3
+    n_blk_rows = nb**3 * spec.PB
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    (dfeat,) = pl.pallas_call(
+        functools.partial(_dfeat_kernel, spec, n_steps),
+        grid=(n_steps,),
+        in_specs=[
+            vm((1, 8, spec.PB), ix),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vm(),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[vm((1, spec.PB, spec.C), ix)],
+        out_shape=[jax.ShapeDtypeStruct((B, n_blk_rows, spec.C), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, spec.WIN_Q, LANE), jnp.float32),
+            pltpu.VMEM((2, spec.WIN_Q, CO), FEAT_DTYPE),
+            pltpu.SemaphoreType.DMA((2, 32)),
+        ],
+        interpret=spec.interpret,
+    )(src_t, smp_meta, dout, w1, b1, w2, b2)
+    return dfeat
+
+
+def _dparam_call(spec: _Spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2):
+    nb = spec.nb
+    ix = _blk_ix(nb)
+    CO = spec.C if spec.CO is None else spec.CO
+    n_steps = B * nb**3
+    const2 = lambda s: (0, 0)
+    const3 = lambda s: (0, 0, 0)
+    w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
+    b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_dparam_kernel, spec, n_steps),
+        grid=(n_steps,),
+        in_specs=[
+            vm((1, 8, spec.SB), ix),
+            vm((1, spec.SB, CO), ix),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[
+            vm((W1_ROWS, spec.H), const2),
+            vm((spec.H, 1), const2),
+            vm(w2_shape, const2 if spec.CO is None else const3),
+            vm(b2_shape, const2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
+            jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2_shape, jnp.float32),
+            jax.ShapeDtypeStruct(b2_shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, spec.WIN_P, LANE), jnp.float32),
+            pltpu.VMEM((2, spec.WIN_P, spec.C), FEAT_DTYPE),
+            pltpu.SemaphoreType.DMA((2, 32)),
+        ],
+        interpret=spec.interpret,
+    )(smp_t, dout, src_pos, src_feat, w1, b1, w2)
+    return dw1, db1, dw2, db2
+
+
+# ----------------------------------------------------------------------------
+# custom_vjp core (bucket/block space) + public wrapper
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bucket_conv_core(
+    spec: _Spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat
+):
+    out, _ = _fwd_call(
+        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
+    )
+    return out
+
+
+def _core_fwd(spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat):
+    out, cnt = _fwd_call(
+        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
+    )
+    return out, (w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt)
+
+
+def _core_bwd(spec, res, dout):
+    w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt = res
+    B = smp_t.shape[0]
+    nb = spec.nb
+    # Fold the per-sample neighbor count into lane CNT_LANE of the Z-MAJOR
+    # sample position array (smp_meta0) so the dfeat pass fetches positions
+    # and counts with one DMA per window. cnt is block-major — scatter it
+    # back to z-major via the static inverse permutation.
+    perm = jnp.asarray(_block_perm(spec.R, spec.CS), jnp.int32)
+    cnt_z = jnp.zeros((B, smp_meta0.shape[1], 1), cnt.dtype)
+    cnt_z = jax.vmap(lambda z, c: z.at[perm].set(c))(cnt_z, cnt)
+    is_cnt = jax.lax.broadcasted_iota(jnp.int32, smp_meta0.shape, 2) == CNT_LANE
+    smp_meta = jnp.where(is_cnt, cnt_z, smp_meta0)
+    # dout arrives block-major; dfeat's windows need it z-major ghosted.
+    dout_z = jnp.zeros(
+        (B, smp_meta0.shape[1], dout.shape[-1]), FEAT_DTYPE
+    )
+    dout_z = jax.vmap(lambda z, d: z.at[perm].set(d))(
+        dout_z, dout.astype(FEAT_DTYPE)
+    )
+    dfeat_blk = _dfeat_call(
+        spec, B, src_t, smp_meta, dout_z, w1, b1, w2, b2
+    )
+    # dfeat is block-major over source slots; scatter back to z-major.
+    perm_p = jnp.asarray(_block_perm(spec.R, spec.CP), jnp.int32)
+    dfeat = jnp.zeros((B, src_feat.shape[1], spec.C), jnp.float32)
+    dfeat = jax.vmap(lambda z, d: z.at[perm_p].set(d))(dfeat, dfeat_blk)
+
+    dw1, db1, dw2, db2 = _dparam_call(
+        spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2
+    )
+    return (
+        dw1,
+        db1,
+        dw2,
+        db2,
+        jnp.zeros_like(smp_t),  # positions are data, not parameters
+        jnp.zeros_like(smp_meta0),
+        jnp.zeros_like(src_pos),
+        jnp.zeros_like(src_t),
+        dfeat.astype(src_feat.dtype),
+    )
+
+
+_bucket_conv_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _pad_lanes(x: Array, lanes: int = LANE) -> Array:
+    return jnp.pad(x, ((0, 0), (0, 0), (0, lanes - x.shape[-1])))
+
+
+def bucket_mc_conv(
+    params: MCConvParams,
+    sample_grid: BucketGrid,
+    sample_mask: Array,
+    source_grid: BucketGrid,
+    features: Array,
+    pdf: Array,
+    *,
+    c_out: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Monte-Carlo conv via the fused bucket kernel.
+
+    Args:
+      params: kernel-MLP parameters (core/mcconv.py layout).
+      sample_grid / source_grid: bucketizations of the out-level / in-level
+        point sets at cell edge == conv radius (``build_buckets``).
+      sample_mask: ``(B, M)`` validity of sample points (for the output).
+      features: ``(B, N, C)`` in-level features; pdf ``(B, N)`` KDE densities.
+
+    Semantics match ``core.mc_conv`` with unbounded neighbor capacity: ALL
+    in-radius neighbors contribute (the bucket layout has no per-sample K),
+    and the estimator divides by the exact neighbor count. Features run in
+    bf16 on the MXU with f32 accumulation (pass f32 inputs; outputs are f32).
+    """
+    assert sample_grid.radius == source_grid.radius
+    assert sample_grid.res == source_grid.res
+    H = params.w1.shape[1]
+    C = features.shape[-1]
+    R = source_grid.res
+
+    # Mosaic wants lane dims to be multiples of 128: pad the channel axes with
+    # zeros — zero input channels contribute nothing, extra output channels
+    # are sliced off, and the pad/slice VJPs do the right thing outside the
+    # custom_vjp core.
+    Cp = -(-C // LANE) * LANE
+    COp = None if c_out is None else -(-c_out // LANE) * LANE
+
+    wf = features / pdf[..., None]
+    if Cp != C:
+        wf = jnp.pad(wf, ((0, 0), (0, 0), (0, Cp - C)))
+
+    w1 = jnp.pad(params.w1, ((0, W1_ROWS - 3), (0, 0)))  # (8, H), zero rows 3..
+    b1 = params.b1.reshape(H, 1)
+    if c_out is None:
+        w2 = jnp.pad(params.w2, ((0, 0), (0, Cp - C)))
+        b2 = jnp.pad(params.b2.reshape(1, C), ((0, 0), (0, Cp - C)))
+    else:
+        w2 = jnp.pad(
+            params.w2.reshape(H, C, c_out),
+            ((0, 0), (0, Cp - C), (0, COp - c_out)),
+        )
+        b2 = jnp.pad(
+            params.b2.reshape(C, c_out), ((0, Cp - C), (0, COp - c_out))
+        )
+
+    spec = _Spec(
+        R=R,
+        CP=source_grid.cap,
+        CS=sample_grid.cap,
+        C=Cp,
+        CO=COp,
+        H=H,
+        radius=source_grid.radius,
+        interpret=interpret,
+    )
+
+    src_feat_z = bucketize(source_grid, wf)[:, :-1].astype(FEAT_DTYPE)
+    src_pos_z = _pad_lanes(source_grid.positions[:, :-1])
+    smp_pos_z = _pad_lanes(sample_grid.positions[:, :-1])
+
+    # Block-major views (static permutation) for the grid sides.
+    smp_blk = _to_block_major(smp_pos_z, R, spec.CS)
+    src_blk = _to_block_major(src_pos_z, R, spec.CP)
+    smp_t = _transposed_meta(smp_blk, spec.CS, spec.nb)
+    src_t = _transposed_meta(src_blk, spec.CP, spec.nb)
+
+    out_b = _bucket_conv_core(
+        spec, w1, b1, w2, b2, smp_t, smp_pos_z, src_pos_z, src_t, src_feat_z
+    )
+    out_b = out_b[..., : (C if c_out is None else c_out)]
+    # back to point order (block-major slots); trash/dropped reads are masked
+    blk_slot = _from_block_major_slots(sample_grid, R, spec.CS)
+    slot = jnp.minimum(blk_slot, out_b.shape[1] - 1)
+    out = jax.vmap(lambda v, i: v[i])(out_b, slot)
+    valid = sample_mask & (blk_slot < out_b.shape[1])
+    return jnp.where(valid[..., None], out, 0.0)

@@ -1,0 +1,145 @@
+"""Shared task plumbing: argparse base, device mesh, jit-compiled train/eval
+loops with checkpointing and JSONL metrics.
+
+Reference parity: the train-loop halves of ``ModelNet/ModelNet.py``,
+``ShapeNet/ShapeNet.py``, ``ScanNet/...`` (SURVEY §3.1): Adam + exponential
+decay, periodic eval, checkpoints, console/file logging — factored once
+instead of copy-pasted per task, and data-parallel over all local devices."""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel import make_mesh, replicate, shard_batch
+from ..train import TrainState, init_state, make_optimizer, make_train_step
+from ..train.checkpoint import Checkpointer
+from ..train.metrics import MetricsLogger
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data", type=str, default=None, help="dataset root")
+    p.add_argument("--synthetic", action="store_true", help="procedural data")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--points", type=int, default=1024)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr-decay-steps", type=int, default=20000)
+    p.add_argument("--lr-decay-rate", type=float, default=0.7)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--grow", type=int, default=None, help="model width knob")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--log-dir", type=str, default="logs")
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument("--eval-every", type=int, default=1, help="epochs")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--protocol",
+        type=str,
+        default="uniform",
+        choices=("uniform", "gradient", "split", "lambert", "occlusion"),
+        help="non-uniform sampling protocol (robustness experiments)",
+    )
+    p.add_argument("--eval-only", action="store_true")
+    return p
+
+
+class Runner:
+    """Owns mesh, jitted steps, checkpointing, and the epoch loop."""
+
+    def __init__(
+        self,
+        args,
+        model,
+        loss_fn: Callable,
+        example_batch: dict,
+        run_name: str,
+    ):
+        self.args = args
+        self.model = model
+        # Largest device count that divides the batch (DP shards the batch).
+        n_dev = len(jax.devices())
+        while args.batch % n_dev:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev)
+        self.tx = make_optimizer(
+            lr=args.lr,
+            decay_steps=args.lr_decay_steps,
+            decay_rate=args.lr_decay_rate,
+            weight_decay=args.weight_decay,
+            grad_clip=args.grad_clip,
+        )
+        state = init_state(
+            model, self.tx, jax.random.PRNGKey(args.seed), example_batch
+        )
+        self.state = replicate(state, self.mesh)
+        repl = NamedSharding(self.mesh, P())
+        step = make_train_step(model, self.tx, loss_fn)
+        self._train_step = jax.jit(step, out_shardings=(repl, repl))
+
+        from ..train.state import _model_args
+
+        def eval_apply(state: TrainState, batch: dict):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                *_model_args(batch),
+                train=False,
+            )
+
+        self._eval_apply = jax.jit(eval_apply)
+
+        name = args.run_name or run_name
+        self.metrics = MetricsLogger(args.log_dir, name)
+        self.ckpt = Checkpointer(args.ckpt_dir or f"ckpts/{name}")
+        self.start_epoch = 0
+        if args.resume or args.eval_only:
+            self.state, extra = self.ckpt.restore(self.state)
+            self.state = replicate(self.state, self.mesh)
+            self.start_epoch = int(extra.get("epoch", 0))
+
+    def shard(self, batch: dict) -> dict:
+        return shard_batch(batch, self.mesh)
+
+    def train_epoch(self, batches: Iterator[dict], epoch: int) -> dict:
+        losses, t0, n = [], time.time(), 0
+        extra_sums: dict = {}
+        for batch in batches:
+            self.state, m = self._train_step(self.state, self.shard(batch))
+            losses.append(m["loss"])
+            for k, v in m.items():
+                if k != "loss":
+                    extra_sums.setdefault(k, []).append(v)
+            n += 1
+            if self.args.steps_per_epoch and n >= self.args.steps_per_epoch:
+                break
+        jax.block_until_ready(losses[-1])
+        out = {
+            "loss": float(np.mean([float(l) for l in losses])),
+            "steps": n,
+            "sec": round(time.time() - t0, 2),
+        }
+        for k, vs in extra_sums.items():
+            out[k] = float(np.mean([float(v) for v in vs]))
+        self.metrics.log(int(self.state.step), tag="train", epoch=epoch, **out)
+        return out
+
+    def eval_logits(self, batch: dict):
+        return self._eval_apply(self.state, self.shard(batch))
+
+    def save(self, epoch: int) -> None:
+        self.ckpt.save(
+            jax.device_get(self.state), extra={"epoch": epoch}
+        )
+
+    def close(self) -> None:
+        self.metrics.close()
+        self.ckpt.close()

@@ -1,0 +1,143 @@
+"""ScanNet semantic segmentation — train / eval CLI.
+
+Reference parity (viscom-ulm/MCCNN): the ScanNet task scripts (SURVEY §2.2):
+MCSeg on real scenes, scene-block handling for large clouds,
+class-frequency-weighted cross-entropy, per-class IoU eval.
+
+Usage:
+  python -m mccnn_tpu.tasks.scannet --synthetic --epochs 2   # smoke
+  python -m mccnn_tpu.tasks.scannet --data /data/scannet     # scannet_*.npz
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data import datasets, synthetic
+from ..models import MCSeg
+from ..train import masked_accuracy, segmentation_loss
+from .common import Runner, base_parser
+
+
+class SyntheticSceneSource:
+    def __init__(self, n_scenes: int, n_classes: int, seed: int):
+        rng = np.random.default_rng(seed)
+        scenes, labels = [], []
+        for _ in range(n_scenes):
+            n = rng.integers(20000, 40000)
+            pts = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+            pts[:, :2] *= 6.0  # room-like xy extent, unit height
+            lab = (
+                np.digitize(pts[:, 2], np.linspace(0, 1, n_classes + 1)[1:-1])
+            ).astype(np.int32)
+            scenes.append(pts)
+            labels.append(lab)
+        self._src = datasets.SceneSegSource(scenes, labels, n_classes)
+        self.n_classes = n_classes
+        self.labels = labels
+
+    def batches(self, *a, **kw):
+        return self._src.batches(*a, **kw)
+
+
+def evaluate(runner: Runner, source, args, rng, n_classes: int) -> dict:
+    inter = np.zeros(n_classes, np.int64)
+    union = np.zeros(n_classes, np.int64)
+    correct = total = 0
+    for batch in source.batches(
+        args.batch,
+        args.points,
+        rng,
+        shuffle=False,
+        drop_remainder=False,
+        blocks_per_epoch=args.batch * 8,
+    ):
+        logits = np.asarray(runner.eval_logits(batch))
+        pred = logits.argmax(-1)
+        lab, mask = batch["labels"], batch["mask"]
+        correct += int(((pred == lab) & mask).sum())
+        total += int(mask.sum())
+        for c in range(n_classes):
+            p = (pred == c) & mask
+            t = (lab == c) & mask
+            inter[c] += int((p & t).sum())
+            union[c] += int((p | t).sum())
+    seen = union > 0
+    return {
+        "point_accuracy": correct / max(total, 1),
+        "mIoU": float((inter[seen] / np.maximum(union[seen], 1)).mean()),
+    }
+
+
+def main(argv=None):
+    p = base_parser("ScanNet semantic segmentation (MCSeg)")
+    p.add_argument("--n-classes", type=int, default=None)
+    p.add_argument("--block-size", type=float, default=1.5)
+    p.add_argument("--blocks-per-epoch", type=int, default=None)
+    p.set_defaults(points=8192, batch=8)
+    args = p.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    if args.synthetic:
+        n_classes = args.n_classes or 8
+        train_src = SyntheticSceneSource(8, n_classes, args.seed)
+        test_src = SyntheticSceneSource(4, n_classes, args.seed + 1)
+    else:
+        train_src = datasets.load_scannet(args.data, "train")
+        test_src = datasets.load_scannet(args.data, "test")
+        n_classes = train_src.n_classes
+    for src in (train_src, test_src):
+        getattr(src, "_src", src).block_size = args.block_size
+    weights = jnp.asarray(
+        datasets.class_weights_from(train_src.labels, n_classes)
+    )
+
+    kw = {"n_classes": n_classes, "radii": (0.05, 0.15, 0.4)}
+    if args.grow:
+        kw["grow"] = args.grow
+    model = MCSeg(**kw)
+
+    def loss_fn(logits, batch):
+        return (
+            segmentation_loss(
+                logits, batch["labels"], batch["mask"], class_weights=weights
+            ),
+            {"acc": masked_accuracy(logits, batch["labels"], batch["mask"])},
+        )
+
+    example = next(
+        train_src.batches(args.batch, args.points, np.random.default_rng(0))
+    )
+    runner = Runner(args, model, loss_fn, example, "scannet_mcseg")
+
+    if args.eval_only:
+        res = evaluate(runner, test_src, args, rng, n_classes)
+        runner.metrics.log(int(runner.state.step), tag="eval", **res)
+        runner.close()
+        return res
+
+    best = 0.0
+    for epoch in range(runner.start_epoch, args.epochs):
+        batches = train_src.batches(
+            args.batch,
+            args.points,
+            rng,
+            train_augment=True,
+            protocol=args.protocol,
+            blocks_per_epoch=args.blocks_per_epoch,
+        )
+        runner.train_epoch(batches, epoch)
+        if (epoch + 1) % args.eval_every == 0:
+            res = evaluate(runner, test_src, args, rng, n_classes)
+            runner.metrics.log(int(runner.state.step), tag="eval", epoch=epoch, **res)
+            if res["mIoU"] >= best:
+                best = res["mIoU"]
+                runner.save(epoch + 1)
+    runner.metrics.log(int(runner.state.step), tag="final", best_mIoU=best)
+    runner.close()
+    return {"best_mIoU": best}
+
+
+if __name__ == "__main__":
+    main()

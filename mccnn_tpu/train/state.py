@@ -45,6 +45,15 @@ def make_optimizer(
     return optax.chain(*txs)
 
 
+def _model_args(batch: dict) -> tuple:
+    """(points, mask, features[, category_onehot]) positional contract shared
+    by every model in the zoo (MCSeg additionally takes the category)."""
+    args = [batch["points"], batch["mask"], batch.get("features")]
+    if "category_onehot" in batch:
+        args.append(batch["category_onehot"])
+    return tuple(args)
+
+
 def init_state(
     model,
     tx: optax.GradientTransformation,
@@ -52,13 +61,7 @@ def init_state(
     example_batch: dict,
 ) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
-    variables = model.init(
-        init_rng,
-        example_batch["points"],
-        example_batch["mask"],
-        example_batch.get("features"),
-        train=False,
-    )
+    variables = model.init(init_rng, *_model_args(example_batch), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(
@@ -88,9 +91,7 @@ def make_train_step(
         def compute_loss(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["points"],
-                batch["mask"],
-                batch.get("features"),
+                *_model_args(batch),
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": drop_rng},
@@ -120,9 +121,7 @@ def make_eval_step(model, metric_fn: Callable[..., dict]):
     def step(state: TrainState, batch: dict) -> dict:
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["points"],
-            batch["mask"],
-            batch.get("features"),
+            *_model_args(batch),
             train=False,
         )
         return metric_fn(out, batch)

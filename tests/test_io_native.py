@@ -1,0 +1,85 @@
+import numpy as np
+import pytest
+
+from mccnn_tpu.native import fast_parse_floats, fast_parse_ints, native_available
+from mccnn_tpu.utils.io import (
+    label_colors,
+    read_ply,
+    read_points_txt,
+    save_segmentation_ply,
+    write_ply,
+    write_points_txt,
+)
+
+
+def test_native_builds():
+    assert native_available()  # g++ is baked into this image
+
+
+def test_parse_floats_comma(rng):
+    ref = rng.normal(size=(50, 6)).astype(np.float32)
+    data = "\n".join(",".join(f"{v:.6f}" for v in row) for row in ref).encode()
+    out = fast_parse_floats(data)
+    np.testing.assert_allclose(out, ref, atol=2e-6)  # text has 6 decimals
+
+
+def test_parse_floats_space_and_blank_lines(rng):
+    ref = rng.normal(size=(10, 3)).astype(np.float32)
+    data = ("\n\n".join(" ".join(f"{v:.5f}" for v in row) for row in ref) + "\n").encode()
+    out = fast_parse_floats(data)
+    np.testing.assert_allclose(out, ref, atol=2e-5)  # text has 5 decimals
+
+
+def test_parse_ints():
+    data = b"1 2 3\n4 5 6\n"
+    np.testing.assert_array_equal(fast_parse_ints(data), [1, 2, 3, 4, 5, 6])
+
+
+def test_txt_round_trip(tmp_path, rng):
+    ref = rng.normal(size=(20, 6)).astype(np.float32)
+    p = str(tmp_path / "cloud.txt")
+    write_points_txt(p, ref)
+    out = read_points_txt(p)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_ply_round_trip(tmp_path, rng):
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    normals = rng.normal(size=(30, 3)).astype(np.float32)
+    colors = rng.integers(0, 255, size=(30, 3)).astype(np.uint8)
+    p = str(tmp_path / "cloud.ply")
+    write_ply(p, pts, colors=colors, normals=normals)
+    data = read_ply(p)
+    np.testing.assert_allclose(
+        np.stack([data["x"], data["y"], data["z"]], -1), pts, rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.stack([data["red"], data["green"], data["blue"]], -1), colors
+    )
+
+
+def test_segmentation_ply(tmp_path, rng):
+    pts = rng.normal(size=(10, 3)).astype(np.float32)
+    labels = np.arange(10) % 3
+    p = str(tmp_path / "seg.ply")
+    save_segmentation_ply(p, pts, labels)
+    data = read_ply(p)
+    assert len(data["x"]) == 10
+    c = label_colors(labels)
+    assert (np.stack([data["red"], data["green"], data["blue"]], -1) == c).all()
+
+
+def test_native_speed_vs_numpy(rng):
+    ref = rng.normal(size=(20000, 6)).astype(np.float32)
+    data = "\n".join(",".join(f"{v:.6f}" for v in row) for row in ref).encode()
+    import io, time
+
+    t0 = time.perf_counter()
+    a = fast_parse_floats(data)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = np.loadtxt(io.BytesIO(data), delimiter=",", dtype=np.float32)
+    t_numpy = time.perf_counter() - t0
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    if native_available():
+        assert t_native < t_numpy  # typically 10-50x faster

@@ -1,0 +1,119 @@
+"""Spatial sharding + halo exchange vs the single-device oracle, on the
+8-virtual-device CPU mesh (SURVEY §4 'distributed tests without a cluster')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mccnn_tpu.core import init_mcconv_params, kde_density, mc_conv, radius_neighbors
+from mccnn_tpu.parallel.spatial import (
+    exchange_halos,
+    shard_points_by_slab,
+    slab_bounds,
+)
+
+RADIUS = 0.08
+K = 32
+N_SHARDS = 8
+
+
+def make_scene(rng, n=2048):
+    pts = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    return pts, np.ones(n, bool)
+
+
+def mesh8():
+    return Mesh(np.asarray(jax.devices()[:N_SHARDS]), ("x",))
+
+
+def test_halo_conv_matches_unsharded(rng):
+    pts, mask = make_scene(rng)
+    feats = rng.normal(size=(len(pts), 16)).astype(np.float32)
+    params = init_mcconv_params(jax.random.PRNGKey(0), 16, None)
+
+    # ---- unsharded oracle (batch dim of 1) ----
+    jp, jm, jf = (jnp.asarray(x)[None] for x in (pts, mask, feats))
+    pdf = kde_density(jp, jm, RADIUS, k=K)
+    nbh = radius_neighbors(jp, jm, jp, jm, RADIUS, K)
+    ref = np.asarray(mc_conv(params, jp, nbh, jp, jf, pdf))[0]
+
+    # ---- sharded: slabs along x + halo exchange ----
+    cap = 512
+    sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
+    sf = np.zeros((N_SHARDS, cap, 16), np.float32)
+    for s in range(N_SHARDS):
+        valid = sidx[s] >= 0
+        sf[s, valid] = feats[sidx[s][valid]]
+
+    def shard_fn(p, m, f):
+        p, m, f = p[0], m[0], f[0]
+        lo, hi = slab_bounds(N_SHARDS, "x")
+        # Two-phase exact pattern: (1) exchange position halos and compute the
+        # pdf of LOCAL points on their owner shard (their r-balls are fully
+        # covered by the halo); (2) exchange {features, pdf} halos and run the
+        # conv — shipped pdf values are the owner-exact ones.
+        aug1 = exchange_halos(p, m, {}, lo, hi, RADIUS, 256, "x")
+        pdf_local = kde_density(
+            aug1.points[None], aug1.mask[None], RADIUS, k=K
+        )[0, : p.shape[0]]
+        aug = exchange_halos(
+            p, m, {"f": f, "pdf": pdf_local}, lo, hi, RADIUS, 256, "x"
+        )
+        # shipped-halo pdf padding is 0 -> guard (masked anyway)
+        pdf_aug = jnp.maximum(aug.values["pdf"], 1e-12)
+        nbh = radius_neighbors(
+            p[None], m[None], aug.points[None], aug.mask[None], RADIUS, K
+        )
+        out = mc_conv(
+            params,
+            p[None],
+            nbh,
+            aug.points[None],
+            aug.values["f"][None],
+            pdf_aug[None],
+        )
+        return out
+
+    with mesh8():
+        out = shard_map(
+            shard_fn,
+            mesh=mesh8(),
+            in_specs=(P("x"), P("x"), P("x")),
+            out_specs=P("x"),
+            check_rep=False,
+        )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
+    out = np.asarray(out)  # (N_SHARDS, cap, 16)
+
+    # compare per original point
+    got = np.zeros_like(ref)
+    for s in range(N_SHARDS):
+        valid = sidx[s] >= 0
+        got[sidx[s][valid]] = out[s][valid]
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=1e-5)
+
+
+def test_halo_overflow_masks(rng):
+    # tiny halo cap: results for interior points must still match; boundary
+    # points may differ (documented truncation), but nothing crashes/NaNs.
+    pts, mask = make_scene(rng, n=512)
+    cap = 128
+    sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
+
+    def shard_fn(p, m):
+        p, m = p[0], m[0]
+        lo, hi = slab_bounds(N_SHARDS, "x")
+        aug = exchange_halos(p, m, {}, lo, hi, RADIUS, 4, "x")
+        pdf = kde_density(aug.points[None], aug.mask[None], RADIUS, k=K)[0]
+        return pdf[None, : p.shape[0]]
+
+    with mesh8():
+        out = shard_map(
+            shard_fn,
+            mesh=mesh8(),
+            in_specs=(P("x"), P("x")),
+            out_specs=P("x"),
+            check_rep=False,
+        )(jnp.asarray(sp), jnp.asarray(sm))
+    assert bool(jnp.isfinite(out).all())
