@@ -78,9 +78,15 @@ class SpatialCache:
         ``kde_window * radius`` (reference: ``ComputePDF`` per conv radius)."""
         key = (level, float(radius))
         if key not in self._pdf:
+            from ..core.pdf import DENSE_KDE_MAX_N
+
             lvl = self.hierarchy.levels[level]
             nbh = None
-            if lvl.self_nbh is not None and lvl.self_nbh.radius == float(radius):
+            if (
+                lvl.points.shape[1] > DENSE_KDE_MAX_N
+                and lvl.self_nbh is not None
+                and lvl.self_nbh.radius == float(radius)
+            ):
                 nbh = lvl.self_nbh
             self._pdf[key] = kde_density(
                 lvl.points,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..core.neighbors import Neighborhood, self_neighbors
-from ..core.sampling import SampleSet, poisson_disk
+from ..core.sampling import DENSE_SAMPLER_MAX_N, SampleSet, poisson_disk
 
 GLOBAL_RADIUS = math.sqrt(3.0) + 0.1  # covers the whole unit cube
 
@@ -93,7 +93,11 @@ def build_hierarchy(
     ]
     cur_pts, cur_mask = points, mask
     for r, cap in zip(radii, level_caps):
-        nbh = self_neighbors(cur_pts, cur_mask, r, neighbor_k)
+        # The dense sampler path needs no neighbor lists; only build them for
+        # large levels (they also get cached on the level for reuse).
+        nbh = None
+        if cur_pts.shape[1] > DENSE_SAMPLER_MAX_N:
+            nbh = self_neighbors(cur_pts, cur_mask, r, neighbor_k)
         ss = poisson_disk(cur_pts, cur_mask, r, cap, neighborhood=nbh)
         nxt_pts = jnp.where(
             ss.mask[..., None],

@@ -22,6 +22,8 @@ from jax import Array
 from .gather import batched_gather
 from .neighbors import Neighborhood, self_neighbors
 
+DENSE_KDE_MAX_N = 4096  # dense O(N^2) path bound (B*N*N f32 memory)
+
 
 def kde_density(
     points: Array,
@@ -48,9 +50,26 @@ def kde_density(
       neighborhood: optional precomputed self-neighborhood (else computed here).
       k: neighbor capacity when computing the self-neighborhood.
     """
+    h = kde_window * float(radius)
+    N = points.shape[1]
+    if neighborhood is None and N <= DENSE_KDE_MAX_N:
+        # Dense formulation: one MXU distance matrix + fused VPU exp/reduce —
+        # no gathers (TPU gathers are slow), exact counts, ~20x faster.
+        import jax
+
+        qq = jnp.sum(points * points, axis=-1)
+        cross = jnp.einsum(
+            "bnd,bmd->bnm", points, points, precision=jax.lax.Precision.HIGHEST
+        )
+        d2 = jnp.maximum(qq[:, :, None] + qq[:, None, :] - 2.0 * cross, 0.0)
+        in_r = (d2 <= radius * radius) & mask[:, None, :]
+        kern = jnp.where(in_r, jnp.exp(-0.5 * d2 / (h * h)), 0.0)
+        n = jnp.maximum(jnp.sum(in_r, axis=-1).astype(points.dtype), 1.0)
+        norm = 1.0 / (n * (h**3) * (2.0 * math.pi) ** 1.5)
+        return jnp.where(mask, norm * jnp.sum(kern, axis=-1), 1.0)
+
     if neighborhood is None:
         neighborhood = self_neighbors(points, mask, radius, k)
-    h = kde_window * float(radius)
     nbr_pts = batched_gather(points, neighborhood.idx)  # (B, N, K, 3)
     d2 = jnp.sum((points[:, :, None, :] - nbr_pts) ** 2, axis=-1)
     kern = jnp.where(neighborhood.mask, jnp.exp(-0.5 * d2 / (h * h)), 0.0)

@@ -66,6 +66,9 @@ class SampleSet(NamedTuple):
     selected: Array
 
 
+DENSE_SAMPLER_MAX_N = 4096  # above this the O(N^2) adjacency gets too big
+
+
 def poisson_disk(
     points: Array,
     mask: Array,
@@ -83,12 +86,17 @@ def poisson_disk(
       radius: Poisson-disk radius (static float).
       max_samples: static output capacity ``S``; selections beyond it are
         dropped in index order (size it generously — tests check occupancy).
-      neighborhood: optional precomputed self-neighborhood at ``radius``.
+      neighborhood: optional precomputed self-neighborhood at ``radius``
+        (only used by the large-N fallback path).
       k: capacity for the self-neighborhood when computed here.
+
+    Two implementations of the same 27-color algorithm:
+      * N <= DENSE_SAMPLER_MAX_N: dense (B, N, N) adjacency masked-reduce —
+        no gathers, no segment ops; on TPU each color step is a couple of
+        fused VPU passes (~200x faster than the gather formulation).
+      * larger N: neighbor-list formulation (K-capacity gathers per step).
     """
     B, N, _ = points.shape
-    if neighborhood is None:
-        neighborhood = self_neighbors(points, mask, radius, k)
 
     cell_edge = float(radius) / _SQRT3
     res = grid_res_for_radius(radius, cell_scale=1.0 / _SQRT3)
@@ -98,6 +106,67 @@ def poisson_disk(
     n_cells = res * res * res
 
     point_index = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+
+    if N <= DENSE_SAMPLER_MAX_N:
+        selected = _poisson_dense(points, mask, cids, colors, radius)
+    else:
+        if neighborhood is None:
+            neighborhood = self_neighbors(points, mask, radius, k)
+        selected = _poisson_neighbor_lists(
+            cids, colors, mask, neighborhood, n_cells, N
+        )
+
+    selected = selected & mask
+
+    # Compact selected flags into (B, S) indices, ascending index order.
+    sort_key = jnp.where(selected, point_index, _BIG_I32)
+    order = jnp.argsort(sort_key, axis=-1)[:, :max_samples].astype(jnp.int32)
+    out_mask = jnp.take_along_axis(sort_key, order, axis=-1) < _BIG_I32
+    idx = jnp.where(out_mask, order, 0)
+    return SampleSet(idx=idx, mask=out_mask, selected=selected)
+
+
+def _poisson_dense(points, mask, cids, colors, radius):
+    """Dense-adjacency 27-color sweep (no gathers; VPU masked reduces).
+
+    Precomputes once:
+      adj[b, j, i]  — i is within ``radius`` of j (valid i only);
+      pred[b, j, i] — i shares j's cell and has a smaller index (valid only).
+    Per color step, entirely elementwise + last-axis reduces:
+      cand_j = uncovered_j & (no uncovered predecessor) & color match
+      covered_j |= any_i(adj[j, i] & cand_i)
+    """
+    B, N, _ = points.shape
+    qq = jnp.sum(points * points, axis=-1)
+    cross = jnp.einsum(
+        "bnd,bmd->bnm", points, points, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = qq[:, :, None] + qq[:, None, :] - 2.0 * cross
+    adj = (d2 <= radius * radius) & mask[:, None, :]  # (B, N, N)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    pred = (
+        (cids[:, :, None] == cids[:, None, :])
+        & (idx[None, None, :] < idx[None, :, None])
+        & mask[:, None, :]
+    )
+
+    def body(c, state):
+        selected, covered = state
+        uncovered = mask & ~covered
+        blocked = jnp.any(pred & uncovered[:, None, :], axis=-1)
+        cand = uncovered & ~blocked & (colors == c)
+        selected = selected | cand
+        covered = covered | jnp.any(adj & cand[:, None, :], axis=-1)
+        return selected, covered
+
+    selected, _ = jax.lax.fori_loop(
+        0, 27, body, (jnp.zeros((B, N), bool), jnp.zeros((B, N), bool))
+    )
+    return selected
+
+
+def _poisson_neighbor_lists(cids, colors, mask, neighborhood, n_cells, N):
+    """K-capacity neighbor-list formulation (large N; per-step gathers)."""
 
     def per_cloud(cid, color, pmask, nbr_idx, nbr_mask):
         def body(c, state):
@@ -124,16 +193,9 @@ def poisson_disk(
         )
         return selected
 
-    selected = jax.vmap(per_cloud)(
+    return jax.vmap(per_cloud)(
         cids, colors, mask, neighborhood.idx, neighborhood.mask
     )
-
-    # Compact selected flags into (B, S) indices, ascending index order.
-    sort_key = jnp.where(selected, point_index, _BIG_I32)
-    order = jnp.argsort(sort_key, axis=-1)[:, :max_samples].astype(jnp.int32)
-    out_mask = jnp.take_along_axis(sort_key, order, axis=-1) < _BIG_I32
-    idx = jnp.where(out_mask, order, 0)
-    return SampleSet(idx=idx, mask=out_mask, selected=selected)
 
 
 def gather_sampled(values: Array, samples: SampleSet) -> Array:
