@@ -41,7 +41,7 @@ def main() -> None:
 
     from mccnn_tpu.core import init_mcconv_params, mc_conv, radius_neighbors
     from mccnn_tpu.core.buckets import build_buckets
-    from mccnn_tpu.ops.pallas import bucket_mc_conv
+    from mccnn_tpu.ops.pallas import bucket_mc_conv, dense_mc_conv
 
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
@@ -77,12 +77,16 @@ def main() -> None:
         return best
 
     best_jnp = timed(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
-    best_pallas = timed(
+    best_bucket = timed(
         lambda p, f: bucket_mc_conv(p, grid, mask, grid, f, pdf)
     )
-    best = min(best_jnp, best_pallas)
+    best_dense = timed(
+        lambda p, f: dense_mc_conv(p, pts, mask, pts, mask, f, pdf, RADIUS)
+    )
+    best = min(best_jnp, best_bucket, best_dense)
     print(
-        f"# jnp {best_jnp * 1e3:.3f} ms | pallas {best_pallas * 1e3:.3f} ms",
+        f"# jnp {best_jnp * 1e3:.3f} ms | bucket {best_bucket * 1e3:.3f} ms"
+        f" | dense {best_dense * 1e3:.3f} ms",
         file=sys.stderr,
     )
 

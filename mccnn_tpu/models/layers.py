@@ -19,8 +19,8 @@ from jax import Array
 
 from ..api.builder import SpatialCache
 from ..core.mcconv import KERNEL_HIDDEN, MCConvParams, mc_conv
-from ..ops.dispatch import use_pallas
-from ..ops.pallas import bucket_mc_conv
+from ..ops.dispatch import pick_backend
+from ..ops.pallas import bucket_mc_conv, dense_mc_conv
 
 
 class MCConv(nn.Module):
@@ -65,7 +65,13 @@ class MCConv(nn.Module):
             ),
             b2=self.param("kernel_b2", nn.initializers.zeros, (out_dim,)),
         )
-        if use_pallas(src.points.shape[1], radius, self.c_in, self.c_out):
+        backend = pick_backend(src.points.shape[1], radius, self.c_in, self.c_out)
+        if backend == "dense":
+            out = dense_mc_conv(
+                params, dst.points, dst.mask, src.points, src.mask,
+                features, pdf, radius, c_out=self.c_out,
+            )
+        elif backend == "bucket":
             out = bucket_mc_conv(
                 params,
                 cache.buckets(out_level, radius),

@@ -1,15 +1,19 @@
-"""Backend dispatch for the MC convolution: fused Pallas bucket kernel on TPU
-where profitable, jnp reference path otherwise.
+"""Backend dispatch for the MC convolution.
 
-The bucket kernel wins when the bucket geometry is efficient (dense clouds,
-moderate grid resolution); the jnp path wins for tiny/coarse levels (e.g. the
-global pooling conv, where every point is a neighbor of one sample). The
-heuristic below picks per conv site; callers can force either with
-``MCCNN_TPU_CONV_BACKEND={pallas,jnp}``.
+Three implementations, picked per conv site:
+  * ``dense``  — fused dense Pallas kernel (ops/pallas/dense_conv.py): whole
+    source set in VMEM, no gathers/DMAs. Best for N <= ~3k (every ModelNet/
+    ShapeNet level including the global conv).
+  * ``bucket`` — fused bucket Pallas kernel (ops/pallas/mcconv_kernel.py):
+    ghost-grid cell windows. For big scenes where N is too large for VMEM.
+  * ``jnp``    — portable reference path (core/mcconv.py). CPU/debug.
+
+Force with ``MCCNN_TPU_CONV_BACKEND={dense,bucket,jnp}``.
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 import jax
@@ -19,26 +23,31 @@ _ENV = "MCCNN_TPU_CONV_BACKEND"
 
 def conv_backend() -> str:
     forced = os.environ.get(_ENV)
-    if forced in ("pallas", "jnp"):
+    if forced in ("pallas", "bucket"):
+        return "bucket"
+    if forced in ("dense", "jnp"):
         return forced
     return "auto"
 
 
-def use_pallas(
+def pick_backend(
     n_sources: int, radius: float, c_in: int, c_out: int | None
-) -> bool:
-    """Heuristic dispatch (auto mode)."""
+) -> str:
     mode = conv_backend()
-    if mode == "pallas":
-        return True
-    if mode == "jnp":
-        return False
+    if mode != "auto":
+        return mode
     if jax.default_backend() != "tpu":
-        return False  # interpret-mode pallas is test-only
-    import math
+        return "jnp"  # interpret-mode pallas is test-only
+    from .pallas.dense_conv import DENSE_MAX_N
 
-    res = math.ceil(1.0 / radius)
-    # Coarse grids (global/near-global convs) and tiny levels: jnp path.
-    if res < 4 or n_sources < 256:
-        return False
-    return True
+    c_eff = max(c_in, c_out or 0, 128)
+    if n_sources <= DENSE_MAX_N and n_sources * c_eff <= 3072 * 256:
+        return "dense"
+    if math.ceil(1.0 / radius) >= 4:
+        return "bucket"
+    return "jnp"
+
+
+def use_pallas(n_sources: int, radius: float, c_in: int, c_out: int | None):
+    """Back-compat shim: True when the bucket kernel would be used."""
+    return pick_backend(n_sources, radius, c_in, c_out) == "bucket"

@@ -1,0 +1,494 @@
+"""Dense Pallas Monte-Carlo convolution — the fast path for moderate clouds.
+
+For the point counts of most reference workloads (ModelNet/ShapeNet levels:
+N <= ~3k) the entire source set — positions AND features — fits in VMEM, so
+the bucket machinery (ghost grids, window DMAs) of ``mcconv_kernel.py`` is
+pure overhead. This kernel keeps the same bilinear factorization and
+(candidates=sublanes, samples=lanes) orientation but:
+
+* the full source arrays are plain (auto-pipelined) VMEM inputs — zero manual
+  DMAs, zero layout permutations;
+* the grid is just (B * M/TM) sample tiles; every step runs full-width
+  (TM=128) MXU matmuls over ALL N candidates with the in-radius mask applied
+  per pair. Dense all-pairs masking costs N/~count extra multiplies — on the
+  MXU that is still far cheaper than any gather-based sparsity on TPU at
+  these sizes.
+
+Backward mirrors the bucket kernel: a source-tile pass for d/dfeatures (each
+source row written exactly once — deterministic) and a sample-tile pass
+accumulating parameter gradients. Semantics are identical to ``core.mc_conv``
+with unbounded neighbor capacity (exact counts, all in-radius neighbors).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.mcconv import MCConvParams
+from .mcconv_kernel import (
+    CNT_LANE,
+    FEAT_DTYPE,
+    LANE,
+    W1_ROWS,
+    _lane_mask,
+    _mm,
+    _pair_d2,
+    transposed_tiles,
+)
+
+TILE = 256  # samples (fwd/dparam) or sources (dfeat) per grid step
+DENSE_MAX_N = 3072  # beyond this, source arrays outgrow comfortable VMEM
+
+
+class _DSpec(NamedTuple):
+    N: int  # padded source rows
+    M: int  # padded sample rows
+    C: int  # channels (128-padded)
+    CO: int | None
+    H: int
+    radius: float
+    interpret: bool
+
+
+def _hloop(spec, cand, t_meta, maskf, fz, w1_ref, b1_ref, w2_ref, b2_ref, co):
+    """Shared forward h-loop: returns the (S, CO) accumulator (pre 1/cnt)."""
+    inv_r = 1.0 / spec.radius
+    cw = (
+        jnp.dot(cand[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (P, H)
+    swT = (
+        jax.lax.dot_general(
+            w1_ref[:], t_meta, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, S)
+    S = t_meta.shape[-1]
+    acc = jnp.zeros((S, co), jnp.float32)
+    for h in range(spec.H):
+        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
+        a_h = jnp.maximum(pre, 0.0) * maskf
+        g_h = _mm(a_h, fz, ((0,), (0,)))  # (S, C)
+        if spec.CO is None:
+            acc += g_h * w2_ref[h : h + 1, :]
+        else:
+            acc += jnp.dot(g_h, w2_ref[h], preferred_element_type=jnp.float32)
+    g_0 = _mm(maskf, fz, ((0,), (0,)))
+    if spec.CO is None:
+        acc += g_0 * b2_ref[:]
+    else:
+        acc += jnp.dot(g_0, b2_ref[:], preferred_element_type=jnp.float32)
+    return acc
+
+
+def _fwd_kernel(
+    spec: _DSpec,
+    smp_t_ref,  # (1, 8, TILE)
+    src_pos_ref,  # (1, N, 128) f32 VMEM (full)
+    src_feat_ref,  # (1, N, C) bf16 VMEM (full)
+    w1_ref,  # (8, H)
+    b1_ref,  # (H, 1)
+    w2_ref,
+    b2_ref,
+    out_ref,  # (1, TILE, C')
+    cnt_ref,  # (1, TILE, 1)
+):
+    smp_t = smp_t_ref[0]
+    cand = src_pos_ref[0]  # (N, 128)
+    d2 = _pair_d2(cand, smp_t)  # (N, TILE)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+    cnt = jnp.sum(maskf, axis=0)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    CO = spec.C if spec.CO is None else spec.CO
+    acc = _hloop(
+        spec, cand, smp_t, maskf, src_feat_ref[0], w1_ref, b1_ref, w2_ref,
+        b2_ref, CO,
+    )
+    out_ref[0] = acc * inv[:, None]
+    cnt_ref[0] = cnt[:, None]
+
+
+def _dfeat_kernel(
+    spec: _DSpec,
+    src_t_ref,  # (1, 8, TILE) — this tile of sources, transposed
+    smp_meta_ref,  # (1, M, 128) f32 VMEM (full; lane 3 = cnt)
+    dout_ref,  # (1, M, C') bf16 VMEM (full)
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    dfeat_ref,  # (1, TILE, C)
+):
+    src_t = src_t_ref[0]
+    meta = smp_meta_ref[0]  # (M, 128)
+    is_cnt = _lane_mask(meta.shape, CNT_LANE)
+    q = jnp.where(is_cnt, 0.0, meta)
+    wc = jnp.sum(jnp.where(is_cnt, meta, 0.0), axis=1, keepdims=True)
+
+    d2 = _pair_d2(q, src_t)  # (M, TILE)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+
+    inv_r = 1.0 / spec.radius
+    cwq = (
+        jnp.dot(q[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (M, H)
+    spT = (
+        jax.lax.dot_general(
+            w1_ref[:], src_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, TILE)
+
+    inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
+    invdout = dout_ref[0].astype(jnp.float32) * inv_cnt  # (M, C')
+
+    acc = jnp.zeros((TILE, spec.C), jnp.float32)
+    for h in range(spec.H):
+        pre = spT[h : h + 1, :] - cwq[:, h : h + 1] + b1_ref[h, 0]
+        a_h = jnp.maximum(pre, 0.0) * maskf  # (M, TILE)
+        if spec.CO is None:
+            t_h = invdout * w2_ref[h : h + 1, :]
+        else:
+            t_h = jax.lax.dot_general(
+                invdout, w2_ref[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc += _mm(a_h, t_h, ((0,), (0,)))  # (TILE, C)
+    if spec.CO is None:
+        t_0 = invdout * b2_ref[:]
+    else:
+        t_0 = jax.lax.dot_general(
+            invdout, b2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += _mm(maskf, t_0, ((0,), (0,)))
+    dfeat_ref[0] = acc
+
+
+def _dparam_kernel(
+    spec: _DSpec,
+    n_steps: int,
+    smp_t_ref,  # (1, 8, TILE)
+    dout_ref,  # (1, TILE, C') f32
+    src_pos_ref,  # (1, N, 128) full
+    src_feat_ref,  # (1, N, C) full
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    dw1_ref,  # (8, H)
+    db1_ref,  # (H, 1)
+    dw2_ref,
+    db2_ref,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    smp_t = smp_t_ref[0]
+    cand = src_pos_ref[0]
+    d2 = _pair_d2(cand, smp_t)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+    cnt = jnp.sum(maskf, axis=0)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    invdout = dout_ref[0] * inv[:, None]
+
+    inv_r = 1.0 / spec.radius
+    cand8 = cand[:, :W1_ROWS]
+    cw = jnp.dot(cand8, w1_ref[:], preferred_element_type=jnp.float32) * inv_r
+    swT = (
+        jax.lax.dot_general(
+            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )
+    fz = src_feat_ref[0]
+
+    for h in range(spec.H):
+        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
+        relu_on = (pre > 0.0).astype(jnp.float32) * maskf
+        a_h = jnp.maximum(pre, 0.0) * maskf
+        g_h = _mm(a_h, fz, ((0,), (0,)))  # (TILE, C)
+        if spec.CO is None:
+            dw2_ref[h : h + 1, :] += jnp.sum(invdout * g_h, axis=0, keepdims=True)
+            u_h = invdout * w2_ref[h : h + 1, :]
+        else:
+            dw2_ref[h] += jax.lax.dot_general(
+                g_h, invdout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u_h = jax.lax.dot_general(
+                invdout, w2_ref[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        da_h = _mm(fz, u_h, ((1,), (1,)))  # (N, TILE)
+        dpre = da_h * relu_on
+        rp = jnp.sum(dpre, axis=1, keepdims=True)  # (N, 1)
+        rs = jnp.sum(dpre, axis=0, keepdims=True)  # (1, TILE)
+        t1 = jax.lax.dot_general(
+            cand8, rp, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        t2 = jax.lax.dot_general(
+            smp_t, rs, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        dw1_ref[:, h : h + 1] += (t1 - t2) * inv_r
+        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
+
+    g_0 = _mm(maskf, fz, ((0,), (0,)))
+    if spec.CO is None:
+        db2_ref[:] += jnp.sum(invdout * g_0, axis=0, keepdims=True)
+    else:
+        db2_ref[:] += jax.lax.dot_general(
+            g_0, invdout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+# ----------------------------------------------------------------------------
+# pallas_call wrappers
+# ----------------------------------------------------------------------------
+
+
+def _steps(B, rows):
+    return B * (rows // TILE)
+
+
+def _tile_ix(n_tiles):
+    def ix(s):
+        if isinstance(s, int):
+            return (s // n_tiles, s % n_tiles, 0)
+        n = jnp.int32(n_tiles)
+        return (jax.lax.div(s, n), jax.lax.rem(s, n), 0)
+
+    return ix
+
+
+def _fwd_call(spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
+    n_tiles = spec.M // TILE
+    ix = _tile_ix(n_tiles)
+    full = lambda s: (ix(s)[0], 0, 0)
+    CO = spec.C if spec.CO is None else spec.CO
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    out, cnt = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid=(B * n_tiles,),
+        in_specs=[
+            vm((1, 8, TILE), ix),
+            vm((1, spec.N, LANE), full),
+            vm((1, spec.N, spec.C), full),
+            vm(),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[vm((1, TILE, CO), ix), vm((1, TILE, 1), ix)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, spec.M, CO), jnp.float32),
+            jax.ShapeDtypeStruct((B, spec.M, 1), jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(smp_t, src_pos, src_feat, w1, b1, w2, b2)
+    return out, cnt
+
+
+def _dfeat_call(spec, B, src_t, smp_meta, dout, w1, b1, w2, b2):
+    n_tiles = spec.N // TILE
+    ix = _tile_ix(n_tiles)
+    full = lambda s: (ix(s)[0], 0, 0)
+    CO = spec.C if spec.CO is None else spec.CO
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    (dfeat,) = pl.pallas_call(
+        functools.partial(_dfeat_kernel, spec),
+        grid=(B * n_tiles,),
+        in_specs=[
+            vm((1, 8, TILE), ix),
+            vm((1, spec.M, LANE), full),
+            vm((1, spec.M, CO), full),
+            vm(),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[vm((1, TILE, spec.C), ix)],
+        out_shape=[jax.ShapeDtypeStruct((B, spec.N, spec.C), jnp.float32)],
+        interpret=spec.interpret,
+    )(src_t, smp_meta, dout, w1, b1, w2, b2)
+    return dfeat
+
+
+def _dparam_call(spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2):
+    n_tiles = spec.M // TILE
+    ix = _tile_ix(n_tiles)
+    full = lambda s: (ix(s)[0], 0, 0)
+    CO = spec.C if spec.CO is None else spec.CO
+    n_steps = B * n_tiles
+    const2 = lambda s: (0, 0)
+    const3 = lambda s: (0, 0, 0)
+    w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
+    b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_dparam_kernel, spec, n_steps),
+        grid=(n_steps,),
+        in_specs=[
+            vm((1, 8, TILE), ix),
+            vm((1, TILE, CO), ix),
+            vm((1, spec.N, LANE), full),
+            vm((1, spec.N, spec.C), full),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[
+            vm((W1_ROWS, spec.H), const2),
+            vm((spec.H, 1), const2),
+            vm(w2_shape, const2 if spec.CO is None else const3),
+            vm(b2_shape, const2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
+            jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2_shape, jnp.float32),
+            jax.ShapeDtypeStruct(b2_shape, jnp.float32),
+        ],
+        interpret=spec.interpret,
+    )(smp_t, dout, src_pos, src_feat, w1, b1, w2)
+    return dw1, db1, dw2, db2
+
+
+# ----------------------------------------------------------------------------
+# custom_vjp + public wrapper
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dense_core(spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat):
+    out, _ = _fwd_call(
+        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
+    )
+    return out
+
+
+def _core_fwd(spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat):
+    out, cnt = _fwd_call(
+        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
+    )
+    return out, (w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat, cnt)
+
+
+def _core_bwd(spec, res, dout):
+    w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat, cnt = res
+    B = smp_t.shape[0]
+    is_cnt = jax.lax.broadcasted_iota(jnp.int32, smp_pos.shape, 2) == CNT_LANE
+    smp_meta = jnp.where(is_cnt, cnt, smp_pos)
+    dfeat = _dfeat_call(
+        spec, B, src_t, smp_meta, dout.astype(FEAT_DTYPE), w1, b1, w2, b2
+    )
+    dw1, db1, dw2, db2 = _dparam_call(
+        spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2
+    )
+    return (
+        dw1,
+        db1,
+        dw2,
+        db2,
+        jnp.zeros_like(smp_t),
+        jnp.zeros_like(smp_pos),
+        jnp.zeros_like(src_pos),
+        jnp.zeros_like(src_t),
+        dfeat.astype(src_feat.dtype),
+    )
+
+
+_dense_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _pad_rows(x, rows, value=0.0):
+    pad = rows - x.shape[1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2),
+                   constant_values=value)
+
+
+def dense_mc_conv(
+    params: MCConvParams,
+    sample_pts: Array,
+    sample_mask: Array,
+    source_pts: Array,
+    source_mask: Array,
+    features: Array,
+    pdf: Array,
+    radius: float,
+    *,
+    c_out: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Fused dense MC conv (same semantics as ``core.mc_conv`` with unbounded
+    neighbor capacity). Use for source counts up to ``DENSE_MAX_N``."""
+    B, M0, _ = sample_pts.shape
+    N0 = source_pts.shape[1]
+    H = params.w1.shape[1]
+    C = features.shape[-1]
+    Cp = -(-C // LANE) * LANE
+    COp = None if c_out is None else -(-c_out // LANE) * LANE
+    Mp = -(-M0 // TILE) * TILE
+    Np = -(-N0 // TILE) * TILE  # dfeat grids over source tiles too
+
+    # positions: 128-lane convention, sentinels on invalid/padded slots
+    def prep(pts, mask, rows, sentinel):
+        p = jnp.where(mask[..., None], pts, sentinel)
+        p = _pad_rows(p, rows, value=sentinel)
+        return jnp.pad(p, ((0, 0), (0, 0), (0, LANE - 3)))
+
+    smp_pos = prep(sample_pts, sample_mask, Mp, 1.0e6)
+    src_pos = prep(source_pts, source_mask, Np, -1.0e6)
+
+    wf = features / pdf[..., None]
+    wf = jnp.where(source_mask[..., None], wf, 0.0)
+    if Cp != C:
+        wf = jnp.pad(wf, ((0, 0), (0, 0), (0, Cp - C)))
+    src_feat = _pad_rows(wf, Np).astype(FEAT_DTYPE)
+
+    w1 = jnp.pad(params.w1, ((0, W1_ROWS - 3), (0, 0)))
+    b1 = params.b1.reshape(H, 1)
+    if c_out is None:
+        w2 = jnp.pad(params.w2, ((0, 0), (0, Cp - C)))
+        b2 = jnp.pad(params.b2.reshape(1, C), ((0, 0), (0, Cp - C)))
+    else:
+        w2 = jnp.pad(
+            params.w2.reshape(H, C, c_out),
+            ((0, 0), (0, Cp - C), (0, COp - c_out)),
+        )
+        b2 = jnp.pad(params.b2.reshape(C, c_out), ((0, Cp - C), (0, COp - c_out)))
+
+    spec = _DSpec(
+        N=Np, M=Mp, C=Cp, CO=COp, H=H, radius=float(radius), interpret=interpret
+    )
+    smp_t = transposed_tiles(smp_pos, TILE)
+    src_t = transposed_tiles(src_pos, TILE)
+
+    out = _dense_core(
+        spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat
+    )
+    out = out[:, :M0, : (C if c_out is None else c_out)]
+    return jnp.where(sample_mask[..., None], out, 0.0)

@@ -142,17 +142,21 @@ def _from_block_major_slots(grid: BucketGrid, R: int, cap: int) -> Array:
     return inv[slot]
 
 
-def _transposed_meta(blk_pos: Array, spec_cap: int, nb: int) -> Array:
-    """(B, n_blk_rows, 128) block-major positions -> (B, nb^3*8, 8*cap) with
-    rows 0..2 = xyz, row 3 = |p|^2, rows 4..7 = 0 (per block, transposed)."""
-    B = blk_pos.shape[0]
-    S = 8 * spec_cap
-    p = blk_pos.reshape(B, nb**3, S, LANE)[..., :3]  # (B, nb3, S, 3)
+def transposed_tiles(pos: Array, tile: int) -> Array:
+    """(B, n_rows, 128) positions -> (B, n_rows/tile*8, tile): per tile of
+    ``tile`` points, an (8, tile) block with rows 0..2 = xyz, row 3 = |p|^2,
+    rows 4..7 = 0 — the lane-oriented geometry operand for the kernels."""
+    B, n_rows, _ = pos.shape
+    n_tiles = n_rows // tile
+    p = pos.reshape(B, n_tiles, tile, LANE)[..., :3]
     sq = jnp.sum(p * p, axis=-1, keepdims=True)
     t = jnp.concatenate([p, sq, jnp.zeros_like(p), jnp.zeros_like(sq)], axis=-1)
-    # (B, nb3, S, 8) -> (B, nb3, 8, S)
-    t = jnp.swapaxes(t, -1, -2)
-    return t.reshape(B, nb**3 * 8, S)
+    t = jnp.swapaxes(t, -1, -2)  # (B, n_tiles, 8, tile)
+    return t.reshape(B, n_tiles * 8, tile)
+
+
+def _transposed_meta(blk_pos: Array, spec_cap: int, nb: int) -> Array:
+    return transposed_tiles(blk_pos, 8 * spec_cap)
 
 
 # ----------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""Parity tests for the dense Pallas MC-conv (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mccnn_tpu.core import init_mcconv_params, mc_conv, radius_neighbors
+from mccnn_tpu.ops.pallas import dense_mc_conv
+
+
+def setup(rng, B=2, N=80, M=50, c_in=8, radius=0.3):
+    src = rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32)
+    smp = rng.uniform(0, 1, size=(B, M, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, c_in)).astype(np.float32)
+    smask = np.ones((B, N), bool)
+    smask[:, -7:] = False
+    qmask = np.ones((B, M), bool)
+    qmask[:, -5:] = False
+    pdf = rng.uniform(0.5, 2.0, size=(B, N)).astype(np.float32)
+    return tuple(map(jnp.asarray, (src, smp, feats, smask, qmask, pdf)))
+
+
+def reference(src, smp, feats, smask, qmask, pdf, radius, c_out, params):
+    nbh = radius_neighbors(smp, qmask, src, smask, radius, src.shape[1])
+    out = mc_conv(params, smp, nbh, src, feats, pdf, c_out=c_out)
+    return jnp.where(qmask[..., None], out, 0.0)
+
+
+def dense(src, smp, feats, smask, qmask, pdf, radius, c_out, params):
+    return dense_mc_conv(
+        params, smp, qmask, src, smask, feats, pdf, radius,
+        c_out=c_out, interpret=True,
+    )
+
+
+@pytest.mark.parametrize("c_out", [None, 4], ids=["depthwise", "full"])
+def test_forward_parity(rng, c_out):
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    params = init_mcconv_params(jax.random.PRNGKey(0), feats.shape[-1], c_out)
+    want = np.asarray(reference(src, smp, feats, smask, qmask, pdf, 0.3, c_out, params))
+    got = np.asarray(dense(src, smp, feats, smask, qmask, pdf, 0.3, c_out, params))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("c_out", [None, 4], ids=["depthwise", "full"])
+def test_gradient_parity(rng, c_out):
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], c_out)
+
+    def loss_ref(p, f, d):
+        return jnp.sum(reference(src, smp, f, smask, qmask, d, 0.3, c_out, p) ** 2)
+
+    def loss_dn(p, f, d):
+        return jnp.sum(dense(src, smp, f, smask, qmask, d, 0.3, c_out, p) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, feats, pdf)
+    g_dn = jax.grad(loss_dn, argnums=(0, 1, 2))(params, feats, pdf)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dn)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, rtol=3e-2, atol=3e-2 * np.abs(a).max() + 1e-6)
+
+
+def test_global_radius(rng):
+    # the "global conv" case: radius covering the whole cube, one sample
+    src, smp, feats, smask, qmask, pdf = setup(rng, M=8)
+    params = init_mcconv_params(jax.random.PRNGKey(2), feats.shape[-1], None)
+    r = 3.0**0.5 + 0.1
+    want = np.asarray(reference(src, smp, feats, smask, qmask, pdf, r, None, params))
+    got = np.asarray(dense(src, smp, feats, smask, qmask, pdf, r, None, params))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
+def test_padding_boundaries(rng):
+    # M and N deliberately not multiples of the 128 tile
+    src, smp, feats, smask, qmask, pdf = setup(rng, N=130, M=129)
+    params = init_mcconv_params(jax.random.PRNGKey(3), feats.shape[-1], None)
+    want = np.asarray(reference(src, smp, feats, smask, qmask, pdf, 0.3, None, params))
+    got = np.asarray(dense(src, smp, feats, smask, qmask, pdf, 0.3, None, params))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
