@@ -52,11 +52,21 @@ def kde_density(
     """
     h = kde_window * float(radius)
     N = points.shape[1]
+    import jax
+
+    if (
+        neighborhood is None
+        and N <= DENSE_KDE_MAX_N
+        and jax.default_backend() == "tpu"
+    ):
+        # fused on-chip variant: nothing (N, N)-shaped touches HBM
+        from ..ops.pallas.density_kernel import kde_density_pallas
+
+        return kde_density_pallas(points, mask, radius, kde_window=kde_window)
+
     if neighborhood is None and N <= DENSE_KDE_MAX_N:
         # Dense formulation: one MXU distance matrix + fused VPU exp/reduce —
         # no gathers (TPU gathers are slow), exact counts, ~20x faster.
-        import jax
-
         qq = jnp.sum(points * points, axis=-1)
         cross = jnp.einsum(
             "bnd,bmd->bnm", points, points, precision=jax.lax.Precision.HIGHEST

@@ -107,7 +107,12 @@ def poisson_disk(
 
     point_index = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
 
-    if N <= DENSE_SAMPLER_MAX_N:
+    if N <= 1024 and jax.default_backend() == "tpu":
+        # fully fused on-chip sweep (ops/pallas/poisson_kernel.py)
+        from ..ops.pallas.poisson_kernel import poisson_sweep_pallas
+
+        selected = poisson_sweep_pallas(points, mask, cids, colors, radius)
+    elif N <= DENSE_SAMPLER_MAX_N:
         selected = _poisson_dense(points, mask, cids, colors, radius)
     else:
         if neighborhood is None:

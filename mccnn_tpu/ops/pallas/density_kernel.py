@@ -1,0 +1,87 @@
+"""Fused dense KDE kernel: per-tile distances + Gaussian sum, nothing
+materialized in HBM.
+
+The XLA dense KDE (core/pdf.py) writes several (B, N, N) intermediates
+(distance matrix, mask, kernel values) — ~0.5 GB of HBM traffic per call at
+N=1024. This kernel computes each (N, TILE) pair block in VMEM and reduces it
+on the spot; HBM traffic is just positions in, densities out."""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mcconv_kernel import LANE, _pair_d2, transposed_tiles
+
+TILE = 256
+DENSE_MAX_N = 3072
+
+
+class _KSpec(NamedTuple):
+    N: int
+    radius: float
+    h: float
+    interpret: bool
+
+
+def _kde_kernel(spec: _KSpec, q_t_ref, pos_ref, out_ref):
+    """q_t (1, 8, TILE) transposed query tile; pos (1, N, 128) full VMEM."""
+    q_t = q_t_ref[0]
+    cand = pos_ref[0]
+    d2 = _pair_d2(cand, q_t)  # (N, TILE)
+    in_r = d2 <= spec.radius * spec.radius
+    kern = jnp.where(in_r, jnp.exp(d2 * (-0.5 / (spec.h * spec.h))), 0.0)
+    n = jnp.maximum(jnp.sum(in_r.astype(jnp.float32), axis=0), 1.0)  # (TILE,)
+    norm_c = 1.0 / ((spec.h**3) * (2.0 * math.pi) ** 1.5)
+    density = norm_c * jnp.sum(kern, axis=0) / n
+    out_ref[0] = density[:, None]
+
+
+def kde_density_pallas(
+    points: Array,
+    mask: Array,
+    radius: float,
+    *,
+    kde_window: float = 0.25,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in fused variant of ``core.pdf.kde_density`` (dense path)."""
+    B, N0, _ = points.shape
+    Np = -(-N0 // TILE) * TILE
+    # sentinel for invalid/padded rows: far away so they join no neighborhood
+    pos = jnp.where(mask[..., None], points, 1.0e6)
+    if Np != N0:
+        pos = jnp.pad(pos, ((0, 0), (0, Np - N0), (0, 0)), constant_values=1.0e6)
+    pos = jnp.pad(pos, ((0, 0), (0, 0), (0, LANE - 3)))
+    q_t = transposed_tiles(pos, TILE)
+
+    spec = _KSpec(
+        N=Np, radius=float(radius), h=float(kde_window * radius), interpret=interpret
+    )
+    n_tiles = Np // TILE
+
+    def ix(s):
+        if isinstance(s, int):
+            return (s // n_tiles, s % n_tiles, 0)
+        n = jnp.int32(n_tiles)
+        return (jax.lax.div(s, n), jax.lax.rem(s, n), 0)
+
+    full = lambda s: (ix(s)[0], 0, 0)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    (out,) = pl.pallas_call(
+        functools.partial(_kde_kernel, spec),
+        grid=(B * n_tiles,),
+        in_specs=[vm((1, 8, TILE), ix), vm((1, Np, LANE), full)],
+        out_specs=[vm((1, TILE, 1), ix)],
+        out_shape=[jax.ShapeDtypeStruct((B, Np, 1), jnp.float32)],
+        interpret=interpret,
+    )(q_t, pos)
+    density = out[:, :N0, 0]
+    return jnp.where(mask, density, 1.0)

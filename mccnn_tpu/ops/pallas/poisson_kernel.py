@@ -1,0 +1,137 @@
+"""Fused Poisson-disk sweep: the whole 27-color selection in one kernel.
+
+The XLA dense sampler (core/sampling.py) re-reads its (B, N, N) adjacency and
+predecessor masks from HBM on every one of the 27 color steps (~1 GB of
+traffic at N=1024). Here the pair matrices are computed once INTO VMEM from
+positions and the entire sweep runs on-chip; HBM sees positions in and one
+selection bitmap out.
+
+State lives as a (N, 1) sublane vector; the per-step lane-oriented view is
+produced with an identity-matrix matmul (MXU transpose — cheap, and avoids
+relying on Mosaic vector-transpose support)."""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mcconv_kernel import LANE, _pair_d2, transposed_tiles
+
+MAX_N = 1024  # (N, N) f32 pair matrices must fit VMEM
+
+
+class _PSpec(NamedTuple):
+    N: int
+    radius: float
+    interpret: bool
+
+
+def _sweep_kernel(spec: _PSpec, pos_ref, pos_t_ref, cid_ref, color_ref, sel_ref):
+    """pos (1,N,128); pos_t (1,8,N); cid/color (1,N,1) f32; sel out (1,N,1)."""
+    N = spec.N
+    pos = pos_ref[0]
+    pos_t = pos_t_ref[0]
+    d2 = _pair_d2(pos, pos_t)  # (N, N); i=sublane, j=lane
+    adj = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+
+    cid_s = cid_ref[0]  # (N, 1) sublane vector
+    # lane views via MXU transpose with the identity
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    ).astype(jnp.float32)
+
+    def to_lanes(v_s, exact=False):  # (N, 1) -> (1, N)
+        return jax.lax.dot_general(
+            v_s, eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # cell ids exceed bf16's exact-integer range; 0/1 vectors don't
+            precision=jax.lax.Precision.HIGHEST if exact else None,
+        )
+
+    cid_l = to_lanes(cid_s, exact=True)
+    # iota must be integer-typed on TPU; cast after
+    idx_s = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).astype(jnp.float32)
+    idx_l = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1).astype(jnp.float32)
+    # pred[i, j]: i is a same-cell predecessor of j (valid rows only — invalid
+    # points carry sentinel positions, and their cid is set to -1 by the
+    # wrapper so they never match a real cell)
+    pred = ((cid_s == cid_l) & (idx_s < idx_l)).astype(jnp.float32)
+    color_l = to_lanes(color_ref[0])
+    valid_l = to_lanes(
+        (cid_s >= 0.0).astype(jnp.float32)
+    )  # 1.0 where the point is real
+
+    def body(c, state):
+        # NOTE: a leaner two-matmul formulation ((1,N)@(N,N) doing transpose +
+        # reduce in one op) sends Mosaic compilation into a >10 min tailspin;
+        # this identity-transpose version compiles in seconds and the sweep is
+        # a minor cost at model level, so it stays.
+        sel_l, cov_l = state  # (1, N) f32 0/1
+        unc_l = valid_l * (1.0 - cov_l)
+        unc_s = jax.lax.dot_general(  # lanes -> sublanes via the identity
+            eye, unc_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, 1)
+        blocked_l = jnp.max(pred * unc_s, axis=0, keepdims=True)  # (1, N)
+        cand_l = unc_l * (1.0 - blocked_l) * (color_l == jnp.float32(c)).astype(
+            jnp.float32
+        )
+        sel_l = jnp.maximum(sel_l, cand_l)
+        # covered: within radius of any candidate; adj[i, j] & cand[j]
+        new_cov_s = jnp.max(adj * cand_l, axis=1, keepdims=True)  # (N, 1)
+        cov_l = jnp.maximum(cov_l, to_lanes(new_cov_s))
+        return sel_l, cov_l
+
+    zero = jnp.zeros((1, N), jnp.float32)
+    sel_l, _ = jax.lax.fori_loop(0, 27, body, (zero, zero))
+    sel_ref[0] = jax.lax.dot_general(
+        eye, sel_l, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # back to (N, 1)
+
+
+def poisson_sweep_pallas(
+    points: Array,
+    mask: Array,
+    cids: Array,
+    colors: Array,
+    radius: float,
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Returns the (B, N) boolean selection of the 27-color maximal sweep."""
+    B, N0, _ = points.shape
+    Np = -(-N0 // 8) * 8
+    pos = jnp.where(mask[..., None], points, 1.0e6)
+    cidf = jnp.where(mask, cids.astype(jnp.float32), -1.0)
+    colf = colors.astype(jnp.float32)
+    if Np != N0:
+        pos = jnp.pad(pos, ((0, 0), (0, Np - N0), (0, 0)), constant_values=1.0e6)
+        cidf = jnp.pad(cidf, ((0, 0), (0, Np - N0)), constant_values=-1.0)
+        colf = jnp.pad(colf, ((0, 0), (0, Np - N0)), constant_values=-2.0)
+    pos = jnp.pad(pos, ((0, 0), (0, 0), (0, LANE - 3)))
+    pos_t = transposed_tiles(pos, Np)
+
+    spec = _PSpec(N=Np, radius=float(radius), interpret=interpret)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    ix = lambda b: (b, 0, 0)
+    (sel,) = pl.pallas_call(
+        functools.partial(_sweep_kernel, spec),
+        grid=(B,),
+        in_specs=[
+            vm((1, Np, LANE), ix),
+            vm((1, 8, Np), ix),
+            vm((1, Np, 1), ix),
+            vm((1, Np, 1), ix),
+        ],
+        out_specs=[vm((1, Np, 1), ix)],
+        out_shape=[jax.ShapeDtypeStruct((B, Np, 1), jnp.float32)],
+        interpret=interpret,
+    )(pos, pos_t, cidf[..., None], colf[..., None], )
+    return (sel[:, :N0, 0] > 0.5) & mask

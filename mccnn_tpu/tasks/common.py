@@ -50,6 +50,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="non-uniform sampling protocol (robustness experiments)",
     )
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument(
+        "--profile-dir",
+        type=str,
+        default=None,
+        help="capture a jax.profiler trace of epoch 1 into this directory "
+        "(view with TensorBoard/Perfetto — SURVEY §5.1)",
+    )
     return p
 
 
@@ -110,6 +117,9 @@ class Runner:
         return shard_batch(batch, self.mesh)
 
     def train_epoch(self, batches: Iterator[dict], epoch: int) -> dict:
+        profiling = self.args.profile_dir and epoch == self.start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(self.args.profile_dir)
         losses, t0, n = [], time.time(), 0
         extra_sums: dict = {}
         for batch in batches:
@@ -122,6 +132,8 @@ class Runner:
             if self.args.steps_per_epoch and n >= self.args.steps_per_epoch:
                 break
         jax.block_until_ready(losses[-1])
+        if profiling:
+            jax.profiler.stop_trace()
         out = {
             "loss": float(np.mean([float(l) for l in losses])),
             "steps": n,

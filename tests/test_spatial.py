@@ -117,3 +117,25 @@ def test_halo_overflow_masks(rng):
             check_rep=False,
         )(jnp.asarray(sp), jnp.asarray(sm))
     assert bool(jnp.isfinite(out).all())
+
+
+def test_multihost_degenerate_single_process(rng):
+    """Single-process degenerate case of the multi-host recipe: global mesh,
+    host-local batch assembly, one sharded reduction."""
+    import jax.numpy as jnp
+    from mccnn_tpu.parallel.multihost import (
+        global_data_mesh,
+        host_local_batch_to_global,
+        initialize_distributed,
+        process_info,
+    )
+
+    initialize_distributed()  # no-op single process
+    info = process_info()
+    assert info["process_count"] == 1 and info["global_devices"] == 8
+    mesh = global_data_mesh()
+    batch = {"x": rng.normal(size=(16, 4)).astype(np.float32)}
+    g = host_local_batch_to_global(batch, mesh)
+    assert g["x"].shape == (16, 4)
+    s = jax.jit(lambda b: b["x"].sum())(g)
+    np.testing.assert_allclose(float(s), batch["x"].sum(), rtol=1e-5)
