@@ -1,0 +1,139 @@
+"""Extended benchmark suite (human-readable; the driver-facing single-line
+benchmark stays in bench.py).
+
+Measures the op zoo and an end-to-end model step across representative
+configurations on the local chip, each via lax.scan chains (this
+environment's ~30 ms dispatch overhead would otherwise dominate).
+
+Usage: python bench_suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def chain_time(fn, carrier, n=20, repeats=2):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chained(p, n):
+        def body(c, _):
+            return c + 1e-9 * fn(c), 0
+
+        o, _ = jax.lax.scan(body, p, None, length=n)
+        return o.sum()
+
+    float(chained(carrier, n))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chained(carrier, n))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.api import build_hierarchy
+    from mccnn_tpu.core import (
+        init_mcconv_params,
+        kde_density,
+        mc_conv,
+        poisson_disk,
+        radius_neighbors,
+    )
+    from mccnn_tpu.core.buckets import build_buckets
+    from mccnn_tpu.models import MCClassS
+    from mccnn_tpu.ops.pallas import bucket_mc_conv, dense_mc_conv
+
+    print(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def bench_config(B, N, C, radius, tag):
+        pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
+        mask = jnp.asarray(np.ones((B, N), bool))
+        feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+        pdf = jnp.asarray(np.ones((B, N), np.float32))
+        params = init_mcconv_params(jax.random.PRNGKey(0), C, None)
+        mpts = B * N / 1e6
+
+        # fwd+bwd chains
+        def fb(conv):
+            g = jax.grad(lambda p, f: jnp.sum(conv(p, f) ** 2), argnums=1)
+            return chain_time(lambda f: g(params, f).sum(), feats)
+
+        if N <= 4096:
+            t = fb(lambda p, f: dense_mc_conv(p, pts, mask, pts, mask, f, pdf, radius))
+            rows.append((f"conv dense fwd+bwd {tag}", t, mpts / t))
+        grid = build_buckets(pts, mask, radius, cap=16)
+        t = fb(lambda p, f: bucket_mc_conv(p, grid, mask, grid, f, pdf))
+        rows.append((f"conv bucket fwd+bwd {tag}", t, mpts / t))
+        nbh = radius_neighbors(pts, mask, pts, mask, radius, 32)
+        t = fb(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
+        rows.append((f"conv jnp fwd+bwd {tag}", t, mpts / t))
+        t = chain_time(lambda p: kde_density(p, mask, radius).sum(), pts)
+        rows.append((f"kde {tag}", t, mpts / t))
+        t = chain_time(
+            lambda p: poisson_disk(p, mask, radius / 2, N // 2).idx.sum().astype(jnp.float32),
+            pts,
+        )
+        rows.append((f"poisson {tag}", t, mpts / t))
+
+    bench_config(8, 1024, 128, 0.2, "B8 N1k C128")
+    if not args.quick:
+        bench_config(4, 4096, 128, 0.1, "B4 N4k C128")
+
+    # end-to-end model step
+    B, N = 8, 1024
+    pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
+    mask = jnp.asarray(np.ones((B, N), bool))
+    model = MCClassS(n_classes=40)
+    v = model.init(jax.random.PRNGKey(0), pts, mask, train=False)
+    labels = jnp.asarray(rng.integers(0, 40, size=B))
+
+    def loss_fn(params, p):
+        logits = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, p, mask, train=False
+        )
+        import jax.nn
+
+        return -jax.nn.log_softmax(logits)[jnp.arange(B), labels].mean()
+
+    grad = jax.grad(loss_fn)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def step_chain(params, n, p):
+        def body(c, _):
+            return jax.tree.map(lambda a, b: a - 1e-3 * b, c, grad(c, p)), 0
+
+        o, _ = jax.lax.scan(body, params, None, length=n)
+        return loss_fn(o, p)
+
+    float(step_chain(v["params"], 10, pts))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(step_chain(v["params"], 10, pts))
+        best = min(best, (time.perf_counter() - t0) / 10)
+    rows.append(("MCClassS full train step B8 N1k", best, B * N / 1e6 / best))
+
+    print(f"\n{'benchmark':42s} {'ms':>9s} {'Mpts/s':>8s}")
+    for name, t, rate in rows:
+        print(f"{name:42s} {t * 1e3:9.3f} {rate:8.1f}")
+
+
+if __name__ == "__main__":
+    main()
