@@ -9,12 +9,26 @@ backward is an atomics scatter-add CUDA kernel; here reverse-mode AD of the
 dense masked formulation yields a deterministic segment-sum backward for free
 (no atomics on TPU — bitwise-reproducible gradients, see tests).
 
-Estimator (per output sample i):
+Estimator (per output sample i), density-corrected mode (``use_pdf=True``):
 
-  out[i] = (1 / c_i) * sum_{j in N(i)}  g((y_j - x_i)/r) * f[j] / pdf[j]
+  out[i] = sum_{j in N(i)}  g((y_j - x_i)/r) * f[j] / density[j]
 
-with ``c_i`` the TRUE neighbor count (pre-truncation), keeping the estimate
-unbiased when the fixed-capacity list truncates dense neighborhoods.
+with ``density`` the UNNORMALIZED KDE sample density (points per unit volume,
+core/pdf.py). No neighbor-count division: the paper's ``(1/|N(x)|) * sum
+f g / p(y|x)`` with the ball-normalized conditional ``p(y|x) = density(y) /
+(|N(x)| / ...)`` reduces algebraically to exactly this expression, and this
+form is what makes the estimate a consistent Monte-Carlo estimate of the
+continuous integral — invariant to the sampling protocol (the paper's
+central claim; checked in tests/test_estimator_properties.py and
+test_mcconv.py::test_unbiased_under_nonuniform_sampling).
+
+Mean mode (``mean_normalize=True``, the reference's ``usePDF=False``):
+
+  out[i] = (1 / k_i) * sum_{j kept}  g((y_j - x_i)/r) * f[j]
+
+i.e. a plain neighborhood average over the ``k_i`` kept neighbors (when the
+fixed-capacity list truncates, the kept subsample's mean estimates the full
+neighborhood mean).
 
 Two kernel shapes (mirroring the reference's ``multiFeatureConvs`` flag):
   * 'depthwise' (reference default): MLP 3 -> H -> Cin; out channel c gets
@@ -121,6 +135,7 @@ def mc_conv(
     pdf: Array,  # (B, N)
     *,
     c_out: int | None = None,
+    mean_normalize: bool = False,
     sample_chunk: int | None = None,
 ) -> Array:
     """Monte-Carlo conv from N source points onto M sample points.
@@ -132,7 +147,11 @@ def mc_conv(
     """
     B, M, _ = sample_pts.shape
     radius = jnp.asarray(neighborhood.radius, features.dtype)
-    inv_count = 1.0 / jnp.maximum(neighborhood.count.astype(features.dtype), 1.0)
+    if mean_normalize:
+        kept = jnp.sum(neighborhood.mask, axis=-1).astype(features.dtype)
+        inv_count = 1.0 / jnp.maximum(kept, 1.0)
+    else:
+        inv_count = jnp.ones(neighborhood.mask.shape[:-1], features.dtype)
     weighted = features / pdf[..., None]
 
     if sample_chunk is None:

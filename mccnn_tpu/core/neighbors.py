@@ -39,7 +39,9 @@ class Neighborhood(NamedTuple):
         ``mask == False`` are arbitrary (clipped to valid range for safe gather).
       mask: ``(B, M, K)`` bool — True where the slot holds a real neighbor.
       count: ``(B, M)`` int32 — TRUE number of in-radius neighbors (may exceed
-        K). Monte-Carlo normalization must use this, not ``mask.sum``.
+        K). Diagnostic (e.g. capacity sweeps); the Monte-Carlo estimator
+        normalizes by the KEPT count (``mask.sum``) so a truncated
+        neighborhood is treated as a subsample (see core/mcconv.py).
       radius: the search radius (python float; static).
     """
 

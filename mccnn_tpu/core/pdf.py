@@ -22,7 +22,8 @@ from jax import Array
 from .gather import batched_gather
 from .neighbors import Neighborhood, self_neighbors
 
-DENSE_KDE_MAX_N = 4096  # dense O(N^2) path bound (B*N*N f32 memory)
+PALLAS_KDE_MAX_N = 4096  # fused kernel: source set + tile pair-block in VMEM
+DENSE_KDE_MAX_N = 8192  # XLA dense O(N^2) path bound (B*N*N f32 memory)
 
 
 def kde_density(
@@ -34,14 +35,22 @@ def kde_density(
     neighborhood: Neighborhood | None = None,
     k: int = 32,
 ) -> Array:
-    """Gaussian-KDE density of each point within its own point set.
+    """Gaussian-KDE sample density of each point within its own point set.
 
-    ``density[b, j] = (1 / (n_j * h^3 * (2*pi)^{3/2})) * sum_k exp(-|y_j - y_k|^2 / (2 h^2))``
+    ``density[b, j] = (1 / (h^3 * (2*pi)^{3/2})) * sum_k exp(-|y_j - y_k|^2 / (2 h^2))``
 
     where the sum runs over the in-radius neighbors of ``y_j`` (the point
-    itself included, as in the reference), ``h = kde_window * radius`` and
-    ``n_j`` is the true neighbor count.  Masked-out points get density 1.0 so
-    downstream ``1/pdf`` stays finite (their contributions are masked anyway).
+    itself included, as in the reference) and ``h = kde_window * radius``.
+    This is the UNNORMALIZED density — points per unit volume, estimating
+    ``N * q(y)`` for sampling distribution q. Deliberately NO division by a
+    local neighbor count: that would cancel exactly the density variation the
+    Monte-Carlo ``1/pdf`` correction exists to remove. The paper's
+    ball-normalized conditional ``p(y|x)`` combined with its ``1/|N(x)|``
+    factor reduces algebraically to ``sum_j g f / density_j`` — see
+    core/mcconv.py and tests/test_estimator_properties.py.
+
+    Masked-out points get density 1.0 so downstream ``1/pdf`` stays finite
+    (their contributions are masked anyway).
 
     Args:
       points: ``(B, N, 3)``; mask ``(B, N)``.
@@ -56,7 +65,7 @@ def kde_density(
 
     if (
         neighborhood is None
-        and N <= DENSE_KDE_MAX_N
+        and N <= PALLAS_KDE_MAX_N
         and jax.default_backend() == "tpu"
     ):
         # fused on-chip variant: nothing (N, N)-shaped touches HBM
@@ -74,8 +83,7 @@ def kde_density(
         d2 = jnp.maximum(qq[:, :, None] + qq[:, None, :] - 2.0 * cross, 0.0)
         in_r = (d2 <= radius * radius) & mask[:, None, :]
         kern = jnp.where(in_r, jnp.exp(-0.5 * d2 / (h * h)), 0.0)
-        n = jnp.maximum(jnp.sum(in_r, axis=-1).astype(points.dtype), 1.0)
-        norm = 1.0 / (n * (h**3) * (2.0 * math.pi) ** 1.5)
+        norm = 1.0 / ((h**3) * (2.0 * math.pi) ** 1.5)
         return jnp.where(mask, norm * jnp.sum(kern, axis=-1), 1.0)
 
     if neighborhood is None:
@@ -83,7 +91,13 @@ def kde_density(
     nbr_pts = batched_gather(points, neighborhood.idx)  # (B, N, K, 3)
     d2 = jnp.sum((points[:, :, None, :] - nbr_pts) ** 2, axis=-1)
     kern = jnp.where(neighborhood.mask, jnp.exp(-0.5 * d2 / (h * h)), 0.0)
-    n = jnp.maximum(neighborhood.count.astype(points.dtype), 1.0)
-    norm = 1.0 / (n * (h**3) * (2.0 * math.pi) ** 1.5)
-    density = norm * jnp.sum(kern, axis=-1)
+    # K-capacity truncation: the kept neighbors are a subsample of the true
+    # in-radius set — rescale the kernel sum by true/kept so the density
+    # estimate stays calibrated in dense regions (the kept set is the NEAREST
+    # K, which over-weights the close-range kernel mass, so this is an
+    # approximation; the dense/Pallas paths are exact).
+    kept = jnp.maximum(jnp.sum(neighborhood.mask, axis=-1), 1)
+    scale = neighborhood.count.astype(points.dtype) / kept.astype(points.dtype)
+    norm = 1.0 / ((h**3) * (2.0 * math.pi) ** 1.5)
+    density = norm * jnp.sum(kern, axis=-1) * jnp.maximum(scale, 1.0)
     return jnp.where(mask, density, 1.0)

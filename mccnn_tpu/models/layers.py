@@ -65,11 +65,14 @@ class MCConv(nn.Module):
             ),
             b2=self.param("kernel_b2", nn.initializers.zeros, (out_dim,)),
         )
+        # usePDF=False mode (reference flag): plain neighborhood mean
+        mean_norm = not self.use_pdf
         backend = pick_backend(src.points.shape[1], radius, self.c_in, self.c_out)
         if backend == "dense":
             out = dense_mc_conv(
                 params, dst.points, dst.mask, src.points, src.mask,
                 features, pdf, radius, c_out=self.c_out,
+                mean_normalize=mean_norm,
             )
         elif backend == "bucket":
             out = bucket_mc_conv(
@@ -80,12 +83,13 @@ class MCConv(nn.Module):
                 features,
                 pdf,
                 c_out=self.c_out,
+                mean_normalize=mean_norm,
             )
         else:
             nbh = cache.neighborhood(in_level, out_level, radius)
             out = mc_conv(
                 params, dst.points, nbh, src.points, features, pdf,
-                c_out=self.c_out,
+                c_out=self.c_out, mean_normalize=mean_norm,
             )
         return jnp.where(dst.mask[..., None], out, 0.0)
 

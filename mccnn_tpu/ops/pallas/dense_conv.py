@@ -54,6 +54,7 @@ class _DSpec(NamedTuple):
     CO: int | None
     H: int
     radius: float
+    mean_norm: bool  # True: divide by neighbor count (usePDF=False mode)
     interpret: bool
 
 
@@ -106,7 +107,10 @@ def _fwd_kernel(
     d2 = _pair_d2(cand, smp_t)  # (N, TILE)
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
     cnt = jnp.sum(maskf, axis=0)
-    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    if spec.mean_norm:
+        inv = 1.0 / jnp.maximum(cnt, 1.0)
+    else:
+        inv = jnp.ones_like(cnt)
     CO = spec.C if spec.CO is None else spec.CO
     acc = _hloop(
         spec, cand, smp_t, maskf, src_feat_ref[0], w1_ref, b1_ref, w2_ref,
@@ -149,7 +153,11 @@ def _dfeat_kernel(
         * inv_r
     )  # (H, TILE)
 
-    inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
+    if spec.mean_norm:
+        inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
+    else:
+        # cnt lane only marks real rows; garbage rows pair with zero dout
+        inv_cnt = jnp.ones_like(wc)
     invdout = dout_ref[0].astype(jnp.float32) * inv_cnt  # (M, C')
 
     acc = jnp.zeros((TILE, spec.C), jnp.float32)
@@ -204,7 +212,10 @@ def _dparam_kernel(
     d2 = _pair_d2(cand, smp_t)
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
     cnt = jnp.sum(maskf, axis=0)
-    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    if spec.mean_norm:
+        inv = 1.0 / jnp.maximum(cnt, 1.0)
+    else:
+        inv = jnp.ones_like(cnt)
     invdout = dout_ref[0] * inv[:, None]
 
     inv_r = 1.0 / spec.radius
@@ -441,6 +452,7 @@ def dense_mc_conv(
     radius: float,
     *,
     c_out: int | None = None,
+    mean_normalize: bool = False,
     interpret: bool = False,
 ) -> Array:
     """Fused dense MC conv (same semantics as ``core.mc_conv`` with unbounded
@@ -482,7 +494,8 @@ def dense_mc_conv(
         b2 = jnp.pad(params.b2.reshape(C, c_out), ((0, Cp - C), (0, COp - c_out)))
 
     spec = _DSpec(
-        N=Np, M=Mp, C=Cp, CO=COp, H=H, radius=float(radius), interpret=interpret
+        N=Np, M=Mp, C=Cp, CO=COp, H=H, radius=float(radius),
+        mean_norm=mean_normalize, interpret=interpret,
     )
     smp_t = transposed_tiles(smp_pos, TILE)
     src_t = transposed_tiles(src_pos, TILE)

@@ -38,9 +38,9 @@ def _kde_kernel(spec: _KSpec, q_t_ref, pos_ref, out_ref):
     d2 = _pair_d2(cand, q_t)  # (N, TILE)
     in_r = d2 <= spec.radius * spec.radius
     kern = jnp.where(in_r, jnp.exp(d2 * (-0.5 / (spec.h * spec.h))), 0.0)
-    n = jnp.maximum(jnp.sum(in_r.astype(jnp.float32), axis=0), 1.0)  # (TILE,)
+    # unnormalized density (points / unit volume) — see core/pdf.py
     norm_c = 1.0 / ((spec.h**3) * (2.0 * math.pi) ** 1.5)
-    density = norm_c * jnp.sum(kern, axis=0) / n
+    density = norm_c * jnp.sum(kern, axis=0)
     out_ref[0] = density[:, None]
 
 

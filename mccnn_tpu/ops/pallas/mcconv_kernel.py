@@ -66,6 +66,7 @@ class _Spec(NamedTuple):
     CO: int | None  # None => depthwise; else multiple of 128
     H: int  # kernel-MLP hidden width
     radius: float
+    mean_norm: bool  # True: divide by neighbor count (usePDF=False mode)
     interpret: bool
 
     @property
@@ -274,7 +275,10 @@ def _fwd_kernel(
     d2 = _pair_d2(cand, smp_t)
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)  # (P, S)
     cnt = jnp.sum(maskf, axis=0)  # (S,)
-    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    if spec.mean_norm:
+        inv = 1.0 / jnp.maximum(cnt, 1.0)
+    else:
+        inv = jnp.ones_like(cnt)
 
     inv_r = 1.0 / spec.radius
     cw = (
@@ -360,7 +364,10 @@ def _dfeat_kernel(
     # cnt windows can cover ghost cells the fwd kernel never wrote: treat any
     # garbage (uninitialized / NaN) as empty. dout ghost rows are true zeros
     # (they come from a scatter), so zeroing inv suffices.
-    inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
+    if spec.mean_norm:
+        inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
+    else:
+        inv_cnt = jnp.ones_like(wc)
     invdout = wdout[slot].astype(jnp.float32) * inv_cnt  # (Q, C')
 
     acc = jnp.zeros((spec.PB, spec.C), jnp.float32)
@@ -427,7 +434,10 @@ def _dparam_kernel(
     d2 = _pair_d2(cand, smp_t)
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
     cnt = jnp.sum(maskf, axis=0)
-    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    if spec.mean_norm:
+        inv = 1.0 / jnp.maximum(cnt, 1.0)
+    else:
+        inv = jnp.ones_like(cnt)
     invdout = dout_ref[0] * inv[:, None]  # (S, C')
 
     inv_r = 1.0 / spec.radius
@@ -692,6 +702,7 @@ def bucket_mc_conv(
     pdf: Array,
     *,
     c_out: int | None = None,
+    mean_normalize: bool = False,
     interpret: bool = False,
 ) -> Array:
     """Monte-Carlo conv via the fused bucket kernel.
@@ -747,6 +758,7 @@ def bucket_mc_conv(
         CO=COp,
         H=H,
         radius=source_grid.radius,
+        mean_norm=mean_normalize,
         interpret=interpret,
     )
 

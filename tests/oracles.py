@@ -22,7 +22,8 @@ def oracle_neighbors(queries, q_mask, sources, s_mask, radius):
 
 
 def oracle_kde(points, mask, radius, kde_window):
-    """Gaussian KDE density per point over its own in-radius neighborhood."""
+    """Unnormalized Gaussian-KDE sample density (points per unit volume) per
+    point over its own in-radius neighborhood — see core/pdf.py."""
     h = kde_window * radius
     norm_c = 1.0 / ((h**3) * (2.0 * np.pi) ** 1.5)
     out = np.ones(len(points))
@@ -31,15 +32,17 @@ def oracle_kde(points, mask, radius, kde_window):
             continue
         d = np.linalg.norm(points - p, axis=-1)
         nbr = (d <= radius) & mask
-        n = max(int(nbr.sum()), 1)
-        out[j] = norm_c / n * np.exp(-0.5 * (d[nbr] / h) ** 2).sum()
+        out[j] = norm_c * np.exp(-0.5 * (d[nbr] / h) ** 2).sum()
     return out
 
 
 def oracle_mcconv(
-    w1, b1, w2, b2, samples, s_mask, sources, features, pdf, radius, c_out=None
+    w1, b1, w2, b2, samples, s_mask, sources, features, pdf, radius,
+    c_out=None, mean_normalize=False,
 ):
-    """Dense Monte-Carlo conv: out[i] = (1/c_i) sum_j g((y_j-x_i)/r) f_j / pdf_j.
+    """Dense Monte-Carlo conv (see core/mcconv.py):
+    pdf mode:  out[i] = sum_j g((y_j-x_i)/r) f_j / pdf_j
+    mean mode: out[i] = (1/|N(i)|) sum_j g((y_j-x_i)/r) f_j
 
     Uses ALL in-radius neighbors (no capacity truncation); jnp/pallas results
     match when K >= true max neighbor count.
@@ -65,5 +68,5 @@ def oracle_mcconv(
                 acc += w * fj
             else:
                 acc += fj @ w.reshape(c_in, c_out)
-        out[i] = acc / len(nbrs)
+        out[i] = acc / len(nbrs) if mean_normalize else acc
     return out
