@@ -70,6 +70,80 @@ def evaluate(runner: Runner, source, args, rng, n_classes: int) -> dict:
     }
 
 
+def predict_scene(
+    runner: Runner,
+    scene: np.ndarray,
+    n_points: int,
+    batch: int,
+    block_size: float = 1.5,
+    stride: float = 0.75,
+    rng=None,
+) -> np.ndarray:
+    """Full-scene prediction by sliding overlapping blocks over the xy plane
+    and averaging per-point logits — the reference's whole-scene eval pattern
+    (SURVEY §2.2 ScanNet scripts), vectorized into padded batches."""
+    from ..data.datasets import _normalize_np, pad_points
+
+    rng = rng or np.random.default_rng(0)
+    mins, maxs = scene.min(0), scene.max(0)
+    xs = np.arange(mins[0], maxs[0] + 1e-6, stride)
+    ys = np.arange(mins[1], maxs[1] + 1e-6, stride)
+    origins = [(x, y) for x in xs for y in ys]
+
+    n_classes = None
+    logit_sum = None
+    counts = np.zeros(len(scene), np.int64)
+    half = block_size / 2.0
+    pending = []  # (sel_idx, subsample_idx)
+
+    def flush(pending):
+        nonlocal logit_sum, n_classes
+        if not pending:
+            return
+        while len(pending) < batch:  # pad batch with a repeat
+            pending.append(pending[0])
+        pts_b, mask_b = [], []
+        for sel, idx in pending:
+            p = scene[sel][idx]
+            pts_b.append(_normalize_np(p))
+            mask_b.append(np.ones(n_points, bool))
+        out = np.asarray(
+            runner.eval_logits(
+                {
+                    "points": np.stack(pts_b),
+                    "mask": np.stack(mask_b),
+                    "labels": np.zeros((batch, n_points), np.int32),
+                }
+            )
+        )
+        if logit_sum is None:
+            n_classes = out.shape[-1]
+            logit_sum = np.zeros((len(scene), n_classes), np.float32)
+        for (sel, idx), lo in zip(pending, out):
+            np.add.at(logit_sum, sel[idx], lo)
+            np.add.at(counts, sel[idx], 1)
+
+    for cx, cy in origins:
+        sel = np.nonzero(
+            (np.abs(scene[:, 0] - cx - half) <= half)
+            & (np.abs(scene[:, 1] - cy - half) <= half)
+        )[0]
+        if len(sel) < 16:
+            continue
+        _, _, idx = pad_points(scene[sel], n_points, rng)
+        pending.append((sel, idx))
+        if len(pending) == batch:
+            flush(pending)
+            pending = []
+    flush(pending)
+
+    covered = counts > 0
+    pred = np.zeros(len(scene), np.int32)
+    if logit_sum is not None:
+        pred[covered] = logit_sum[covered].argmax(-1)
+    return pred
+
+
 def main(argv=None):
     p = base_parser("ScanNet semantic segmentation (MCSeg)")
     p.add_argument("--n-classes", type=int, default=None)
