@@ -4,7 +4,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mccnn_tpu.core import init_mcconv_params, kde_density, mc_conv, radius_neighbors
@@ -139,3 +139,52 @@ def test_multihost_degenerate_single_process(rng):
     assert g["x"].shape == (16, 4)
     s = jax.jit(lambda b: b["x"].sum())(g)
     np.testing.assert_allclose(float(s), batch["x"].sum(), rtol=1e-5)
+
+
+def test_sharded_seg_network_matches_unsharded(rng):
+    """Multi-layer spatially-sharded segmentation network == unsharded oracle."""
+    from mccnn_tpu.parallel.sharded_seg import (
+        init_sharded_seg,
+        sharded_seg_apply,
+        unsharded_seg_apply,
+    )
+
+    pts, mask = make_scene(rng, n=2048)
+    feats = rng.normal(size=(len(pts), 8)).astype(np.float32)
+    params = init_sharded_seg(jax.random.PRNGKey(0), 8, 16, 5)
+
+    ref = np.asarray(
+        unsharded_seg_apply(
+            params, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(feats),
+            radius=RADIUS, neighbor_k=K,
+        )
+    )
+
+    cap = 512
+    sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
+    sf = np.zeros((N_SHARDS, cap, 8), np.float32)
+    for s in range(N_SHARDS):
+        valid = sidx[s] >= 0
+        sf[s, valid] = feats[sidx[s][valid]]
+
+    def fn(p, m, f):
+        return sharded_seg_apply(
+            params, p[0], m[0], f[0], radius=RADIUS, halo_cap=256,
+            axis_name="x", n_shards=N_SHARDS, neighbor_k=K,
+        )[None]
+
+    with mesh8():
+        out = shard_map(
+            fn,
+            mesh=mesh8(),
+            in_specs=(P("x"), P("x"), P("x")),
+            out_specs=P("x"),
+            check_rep=False,
+        )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
+    out = np.asarray(out)
+
+    got = np.zeros_like(ref)
+    for s in range(N_SHARDS):
+        valid = sidx[s] >= 0
+        got[sidx[s][valid]] = out[s][valid]
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
