@@ -82,7 +82,7 @@ def test_halo_conv_matches_unsharded(rng):
             mesh=mesh8(),
             in_specs=(P("x"), P("x"), P("x")),
             out_specs=P("x"),
-            check_rep=False,
+            check_vma=False,
         )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
     out = np.asarray(out)  # (N_SHARDS, cap, 16)
 
@@ -114,7 +114,7 @@ def test_halo_overflow_masks(rng):
             mesh=mesh8(),
             in_specs=(P("x"), P("x")),
             out_specs=P("x"),
-            check_rep=False,
+            check_vma=False,
         )(jnp.asarray(sp), jnp.asarray(sm))
     assert bool(jnp.isfinite(out).all())
 
@@ -179,7 +179,7 @@ def test_sharded_seg_network_matches_unsharded(rng):
             mesh=mesh8(),
             in_specs=(P("x"), P("x"), P("x")),
             out_specs=P("x"),
-            check_rep=False,
+            check_vma=False,
         )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
     out = np.asarray(out)
 
