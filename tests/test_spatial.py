@@ -188,3 +188,49 @@ def test_sharded_seg_network_matches_unsharded(rng):
         valid = sidx[s] >= 0
         got[sidx[s][valid]] = out[s][valid]
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_poisson_invariants(rng):
+    """Sharded Poisson-disk: exact min-distance globally, ~2r coverage near
+    boundaries, r coverage in slab interiors."""
+    from mccnn_tpu.parallel.sharded_sampling import sharded_poisson_disk
+    from mccnn_tpu.parallel.spatial import slab_bounds
+
+    radius = 0.03  # slab width 1/8 = 0.125 >= 2r, with real interior
+    pts, mask = make_scene(rng, n=4096)
+    cap = 1024
+    sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
+
+    def fn(p, m):
+        lo, hi = slab_bounds(N_SHARDS, "x")
+        sel = sharded_poisson_disk(p[0], m[0], radius, lo, hi, 512, "x")
+        return sel[None]
+
+    with mesh8():
+        sel = shard_map(
+            fn, mesh=mesh8(), in_specs=(P("x"), P("x")), out_specs=P("x"),
+            check_vma=False,
+        )(jnp.asarray(sp), jnp.asarray(sm))
+    sel = np.asarray(sel)
+
+    chosen = []
+    for s in range(N_SHARDS):
+        valid = (sidx[s] >= 0) & sel[s]
+        chosen.append(pts[sidx[s][valid]])
+    chosen = np.concatenate(chosen)
+    assert len(chosen) > 50
+
+    # global min-distance: EXACT
+    d = np.linalg.norm(chosen[:, None] - chosen[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= radius - 1e-6, d.min()
+
+    # coverage: everywhere within 2r; slab interiors within r
+    dcov = np.linalg.norm(pts[:, None] - chosen[None, :], axis=-1).min(-1)
+    assert dcov.max() <= 2 * radius + 1e-6, dcov.max()
+    # dropped boundary selections can leave points within 2r of a slab edge
+    # covered only at <= 2r; strictly interior points keep the exact r bound
+    w = 1.0 / N_SHARDS
+    frac = (pts[:, 0] % w) / w
+    interior = (frac > 2 * radius / w) & (frac < 1 - 2 * radius / w)
+    assert dcov[interior].max() <= radius + 1e-6
