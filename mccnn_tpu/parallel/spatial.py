@@ -40,11 +40,15 @@ class HaloAugmented(NamedTuple):
     """Local points concatenated with received halo shells.
 
     points: ``(N + 2*cap, 3)``; mask: ``(N + 2*cap,)``;
-    values: dict of per-point payloads, each ``(N + 2*cap, ...)``."""
+    values: dict of per-point payloads, each ``(N + 2*cap, ...)``;
+    overflow: scalar int32 — boundary-shell points this shard FAILED to ship
+    because ``halo_cap`` was too small (any nonzero value means downstream
+    results near boundaries are missing neighbors — enlarge the cap)."""
 
     points: Array
     mask: Array
     values: dict
+    overflow: Array
 
 
 def _compress(points: Array, sel: Array, payload: dict, cap: int):
@@ -94,6 +98,9 @@ def exchange_halos(
 
     send_hi = mask & (coord >= shard_hi - radius)  # goes to the right shard
     send_lo = mask & (coord <= shard_lo + radius)  # goes to the left shard
+    overflow = jnp.maximum(send_hi.sum() - halo_cap, 0) + jnp.maximum(
+        send_lo.sum() - halo_cap, 0
+    )
     hi_pts, hi_mask, hi_vals = _compress(points, send_hi, values, halo_cap)
     lo_pts, lo_mask, lo_vals = _compress(points, send_lo, values, halo_cap)
 
@@ -119,7 +126,12 @@ def exchange_halos(
         k: jnp.concatenate([values[k], recv_left[2][k], recv_right[2][k]])
         for k in values
     }
-    return HaloAugmented(points=points_aug, mask=mask_aug, values=values_aug)
+    return HaloAugmented(
+        points=points_aug,
+        mask=mask_aug,
+        values=values_aug,
+        overflow=overflow.astype(jnp.int32),
+    )
 
 
 def slab_bounds(

@@ -234,3 +234,29 @@ def test_sharded_poisson_invariants(rng):
     frac = (pts[:, 0] % w) / w
     interior = (frac > 2 * radius / w) & (frac < 1 - 2 * radius / w)
     assert dcov[interior].max() <= radius + 1e-6
+
+
+def test_halo_overflow_reported(rng):
+    """exchange_halos reports dropped boundary points via .overflow."""
+    from mccnn_tpu.parallel.spatial import exchange_halos, slab_bounds
+
+    pts, mask = make_scene(rng, n=1024)
+    cap = 256
+    sp, sm, _ = shard_points_by_slab(pts, mask, N_SHARDS, cap)
+
+    def fn(p, m, halo_cap):
+        lo, hi = slab_bounds(N_SHARDS, "x")
+        aug = exchange_halos(p[0], m[0], {}, lo, hi, 0.06, halo_cap, "x")
+        return aug.overflow[None]
+
+    with mesh8():
+        ok = shard_map(
+            lambda p, m: fn(p, m, 128), mesh=mesh8(),
+            in_specs=(P("x"), P("x")), out_specs=P("x"), check_vma=False,
+        )(jnp.asarray(sp), jnp.asarray(sm))
+        tiny = shard_map(
+            lambda p, m: fn(p, m, 8), mesh=mesh8(),
+            in_specs=(P("x"), P("x")), out_specs=P("x"), check_vma=False,
+        )(jnp.asarray(sp), jnp.asarray(sm))
+    assert int(np.asarray(ok).sum()) == 0
+    assert int(np.asarray(tiny).sum()) > 0
