@@ -129,3 +129,13 @@ def test_scannet_whole_scene_prediction(tmp_path):
     assert pred.shape == (len(scene),)
     assert pred.min() >= 0 and pred.max() < 5
     runner.close()
+
+
+def test_train_step_deterministic(tmp_path):
+    """Same seed + same data => identical losses (SURVEY §5.2 determinism —
+    the whole training step, not just kernel grads)."""
+    from mccnn_tpu.tasks import modelnet
+
+    a = run(modelnet, ["--model", "MCClassS", "--seed", "7"], tmp_path / "a")
+    b = run(modelnet, ["--model", "MCClassS", "--seed", "7"], tmp_path / "b")
+    assert a["best_accuracy"] == b["best_accuracy"]
