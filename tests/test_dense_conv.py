@@ -78,3 +78,40 @@ def test_padding_boundaries(rng):
     want = np.asarray(reference(src, smp, feats, smask, qmask, pdf, 0.3, None, params))
     got = np.asarray(dense(src, smp, feats, smask, qmask, pdf, 0.3, None, params))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
+def test_mean_normalize_parity(rng):
+    # the reference's usePDF=False mode
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    ones = jnp.ones_like(pdf)
+    params = init_mcconv_params(jax.random.PRNGKey(4), feats.shape[-1], None)
+    nbh = radius_neighbors(smp, qmask, src, smask, 0.3, src.shape[1])
+    want = jnp.where(
+        qmask[..., None],
+        mc_conv(params, smp, nbh, src, feats, ones, mean_normalize=True),
+        0.0,
+    )
+    got = dense_mc_conv(
+        params, smp, qmask, src, smask, feats, ones, 0.3,
+        mean_normalize=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(want).max()),
+    )
+
+    def loss_d(p, f):
+        return jnp.sum(
+            dense_mc_conv(p, smp, qmask, src, smask, f, ones, 0.3,
+                          mean_normalize=True, interpret=True) ** 2
+        )
+
+    def loss_r(p, f):
+        o = mc_conv(p, smp, nbh, src, f, ones, mean_normalize=True)
+        return jnp.sum(jnp.where(qmask[..., None], o, 0.0) ** 2)
+
+    gd = jax.grad(loss_d, argnums=(0, 1))(params, feats)
+    gr = jax.grad(loss_r, argnums=(0, 1))(params, feats)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gd)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, rtol=3e-2, atol=3e-2 * np.abs(a).max() + 1e-6)

@@ -99,3 +99,26 @@ def test_small_grid_radius(rng):
     want = np.asarray(reference(src, smp, feats, smask, qmask, pdf, 0.6, None, params))
     got = np.asarray(pallas_out(src, smp, feats, smask, qmask, pdf, 0.6, None, params))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
+def test_mean_normalize_parity(rng):
+    # the reference's usePDF=False mode through the bucket kernel
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    ones = jnp.ones_like(pdf)
+    params = init_mcconv_params(jax.random.PRNGKey(5), feats.shape[-1], None)
+    nbh = radius_neighbors(smp, qmask, src, smask, 0.3, src.shape[1])
+    want = jnp.where(
+        qmask[..., None],
+        mc_conv(params, smp, nbh, src, feats, ones, mean_normalize=True),
+        0.0,
+    )
+    sg = build_buckets(smp, qmask, 0.3, cap=64)
+    gg = build_buckets(src, smask, 0.3, cap=64)
+    got = bucket_mc_conv(
+        params, sg, qmask, gg, feats, ones,
+        mean_normalize=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(want).max()),
+    )
