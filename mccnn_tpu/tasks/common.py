@@ -9,6 +9,7 @@ instead of copy-pasted per task, and data-parallel over all local devices."""
 from __future__ import annotations
 
 import argparse
+import signal
 import time
 from typing import Callable, Iterator
 
@@ -113,10 +114,34 @@ class Runner:
             self.state = replicate(self.state, self.mesh)
             self.start_epoch = int(extra.get("epoch", 0))
 
+        # Preemption safety (SURVEY §5.3): on SIGTERM/SIGINT checkpoint the
+        # current state before exiting, so --resume continues seamlessly.
+        self._epoch = self.start_epoch
+        self._install_signal_handlers()
+
+    def _install_signal_handlers(self) -> None:
+        def handler(signum, frame):
+            try:
+                self.save(self._epoch)
+                self.metrics.log(
+                    int(jax.device_get(self.state.step)),
+                    tag="preempt",
+                    signal=int(signum),
+                )
+            finally:
+                raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # not the main thread (e.g. under pytest-xdist)
+                pass
+
     def shard(self, batch: dict) -> dict:
         return shard_batch(batch, self.mesh)
 
     def train_epoch(self, batches: Iterator[dict], epoch: int) -> dict:
+        self._epoch = epoch
         profiling = self.args.profile_dir and epoch == self.start_epoch + 1
         if profiling:
             jax.profiler.start_trace(self.args.profile_dir)
