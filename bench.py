@@ -41,12 +41,15 @@ RADIUS = 0.2
 # tunnel is unreachable at bench time (jax would otherwise hang forever in
 # backend init — observed outage 2026-08-16).
 LAST_VERIFIED = {
-    "metric": "mcconv_depthwise_fwdbwd_throughput",
+    # Metric name carries the _stale suffix so no consumer can mistake the
+    # fallback for a live measurement (ADVICE r1); bench also exits nonzero.
+    "metric": "mcconv_depthwise_fwdbwd_throughput_stale",
     "value": 5.3,
     "unit": "Mpoints/s/chip",
     "vs_baseline": 0.18,
+    "stale": True,
     "note": "STALE: TPU tunnel down at bench time; value from the last "
-    "successful on-chip run this round (dense kernel, 1.547 ms/layer)",
+    "successful on-chip run (dense kernel, 1.547 ms/layer)",
 }
 
 
@@ -143,5 +146,5 @@ if __name__ == "__main__":
     if os.environ.get("MCCNN_BENCH_SKIP_PROBE") != "1" and not _tpu_reachable():
         print(json.dumps(LAST_VERIFIED))
         print("# TPU unreachable — emitted last verified value", file=sys.stderr)
-        sys.exit(0)
+        sys.exit(3)  # nonzero: the JSON above is NOT a live measurement
     main()

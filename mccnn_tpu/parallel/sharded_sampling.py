@@ -42,10 +42,15 @@ def sharded_poisson_disk(
     axis_name: str,
     *,
     shard_axis: int = 0,
-) -> Array:
+) -> tuple[Array, Array]:
     """Per-shard Poisson-disk selection flags with boundary reconciliation.
 
-    Call inside ``shard_map``; returns a (N_shard,) bool selection."""
+    Call inside ``shard_map``; returns ``(selection, overflow)`` where
+    ``selection`` is a (N_shard,) bool mask and ``overflow`` is the halo
+    overflow count from ``exchange_halos`` — any nonzero value means
+    left-neighbor boundary selections were dropped from the conflict check
+    and the EXACT min-distance guarantee no longer holds (enlarge
+    ``halo_cap``). Callers must check it (ADVICE r1)."""
     # 1. local maximal selection — scenes live in the unit cube (like the
     #    rest of the framework), so the global cell grid indexes directly
     cell_edge = float(radius) / _SQRT3
@@ -79,4 +84,4 @@ def sharded_poisson_disk(
     conflict = jnp.any(
         (d2 <= radius * radius) & left_sel[None, :], axis=-1
     )
-    return selected & ~conflict & mask
+    return selected & ~conflict & mask, aug.overflow

@@ -140,6 +140,29 @@ class Runner:
     def shard(self, batch: dict) -> dict:
         return shard_batch(batch, self.mesh)
 
+    def _pad_eval_batch(self, batch: dict) -> tuple[dict, int]:
+        """Pad a ragged final eval batch so its leading axis divides the mesh.
+
+        ``shard_batch`` requires batch % n_devices == 0; real datasets produce
+        remainder batches (e.g. ModelNet40: 2468 % 32 = 4). Pad up to the
+        configured batch size when below it (one compiled eval shape ever —
+        avoids per-remainder recompiles), else to the next mesh multiple. The
+        caller slices outputs back with the returned true size."""
+        b = next(iter(batch.values())).shape[0]
+        n_dev = self.mesh.devices.size
+        full = getattr(self.args, "batch", b)
+        if b == full or (b % n_dev == 0 and b > full):
+            return batch, b
+        target = full if b < full else -(-b // n_dev) * n_dev
+        pad = target - b
+        if pad == 0:
+            return batch, b
+        padded = {
+            k: np.concatenate([v, np.repeat(np.asarray(v)[:1], pad, axis=0)])
+            for k, v in batch.items()
+        }
+        return padded, b
+
     def train_epoch(self, batches: Iterator[dict], epoch: int) -> dict:
         self._epoch = epoch
         profiling = self.args.profile_dir and epoch == self.start_epoch + 1
@@ -170,7 +193,9 @@ class Runner:
         return out
 
     def eval_logits(self, batch: dict):
-        return self._eval_apply(self.state, self.shard(batch))
+        padded, b = self._pad_eval_batch(batch)
+        out = self._eval_apply(self.state, self.shard(padded))
+        return jax.tree.map(lambda x: x[:b], out)
 
     def save(self, epoch: int) -> None:
         self.ckpt.save(

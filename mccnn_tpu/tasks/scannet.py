@@ -100,6 +100,7 @@ def predict_scene(
         nonlocal logit_sum, n_classes
         if not pending:
             return
+        m = len(pending)  # true block count — padding below must not accumulate
         while len(pending) < batch:  # pad batch with a repeat
             pending.append(pending[0])
         pts_b, mask_b = [], []
@@ -119,7 +120,7 @@ def predict_scene(
         if logit_sum is None:
             n_classes = out.shape[-1]
             logit_sum = np.zeros((len(scene), n_classes), np.float32)
-        for (sel, idx), lo in zip(pending, out):
+        for (sel, idx), lo in zip(pending[:m], out[:m]):
             np.add.at(logit_sum, sel[idx], lo)
             np.add.at(counts, sel[idx], 1)
 

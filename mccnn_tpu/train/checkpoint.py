@@ -28,9 +28,10 @@ class Checkpointer:
         )
 
     def save(self, state: TrainState, extra: dict | None = None) -> None:
-        payload = {"state": state._asdict()}
-        if extra:
-            payload["extra"] = extra
+        # Always write 'extra' (default epoch=0): restore() unconditionally
+        # includes it in the StandardRestore template, so omitting it here
+        # would make a save() without extra unrestorable (ADVICE r1).
+        payload = {"state": state._asdict(), "extra": extra or {"epoch": 0}}
         self._mgr.save(
             int(state.step), args=ocp.args.StandardSave(payload)
         )

@@ -203,15 +203,17 @@ def test_sharded_poisson_invariants(rng):
 
     def fn(p, m):
         lo, hi = slab_bounds(N_SHARDS, "x")
-        sel = sharded_poisson_disk(p[0], m[0], radius, lo, hi, 512, "x")
-        return sel[None]
+        sel, overflow = sharded_poisson_disk(p[0], m[0], radius, lo, hi, 512, "x")
+        return sel[None], overflow[None]
 
     with mesh8():
-        sel = shard_map(
-            fn, mesh=mesh8(), in_specs=(P("x"), P("x")), out_specs=P("x"),
+        sel, overflow = shard_map(
+            fn, mesh=mesh8(), in_specs=(P("x"), P("x")),
+            out_specs=(P("x"), P("x")),
             check_vma=False,
         )(jnp.asarray(sp), jnp.asarray(sm))
     sel = np.asarray(sel)
+    assert int(np.asarray(overflow).sum()) == 0  # halo cap adequate
 
     chosen = []
     for s in range(N_SHARDS):

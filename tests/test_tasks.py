@@ -139,3 +139,34 @@ def test_train_step_deterministic(tmp_path):
     a = run(modelnet, ["--model", "MCClassS", "--seed", "7"], tmp_path / "a")
     b = run(modelnet, ["--model", "MCClassS", "--seed", "7"], tmp_path / "b")
     assert a["best_accuracy"] == b["best_accuracy"]
+
+
+def test_eval_ragged_final_batch(tmp_path):
+    """A final eval batch smaller than the 8-device mesh must be padded
+    internally and sliced back — not crash shard_batch's divisibility check
+    (ADVICE r1 medium; real ModelNet40 test split is 2468 % 32 = 4)."""
+    import numpy as np
+    from mccnn_tpu.tasks import modelnet
+    from mccnn_tpu.tasks.common import Runner, base_parser
+
+    args = base_parser("t").parse_args(
+        [
+            "--batch", "8", "--points", "64", "--grow", "8",
+            "--ckpt-dir", str(tmp_path / "ck"),
+            "--log-dir", str(tmp_path / "lg"),
+        ]
+    )
+    n_classes = 6
+    train_src = modelnet.SyntheticSource(16, n_classes, 0)
+    test_src = modelnet.SyntheticSource(20, n_classes, 1)  # 20 % 8 = 4 ragged
+    model = modelnet.build_model("MCClassS", n_classes, 8)
+    example = next(train_src.batches(8, 64, np.random.default_rng(0)))
+    runner = Runner(
+        args, model, modelnet.make_loss("MCClassS"), example, "ragged"
+    )
+    assert runner.mesh.devices.size == 8
+    res = modelnet.evaluate(
+        runner, test_src, args, votes=1, rng=np.random.default_rng(0)
+    )
+    assert 0.0 <= res["accuracy"] <= 1.0
+    runner.close()
