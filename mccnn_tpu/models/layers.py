@@ -108,19 +108,23 @@ class Conv1x1(nn.Module):
 class BatchNormReluDropout(nn.Module):
     """BN → ReLU → dropout, masked-aware.
 
-    Reference parity: ``MCNetworkUtils.batch_norm_RELU_drop_out``. TF1 BN used
-    a decaying-momentum schedule; flax BatchNorm has fixed momentum — 0.9
-    default here, configurable (SURVEY §7 'hard parts': BN semantics move
-    accuracy; revisit during parity tuning)."""
+    Reference parity: ``MCNetworkUtils.batch_norm_RELU_drop_out``. The TF1
+    reference schedules the BN running-average decay from 0.5 toward 0.99 over
+    training (SURVEY §7 'hard parts': BN semantics move accuracy) — set
+    ``schedule_steps`` to enable the same schedule; ``None`` keeps a fixed
+    ``momentum``."""
 
     drop_rate: float = 0.0
     momentum: float = 0.9
     use_bn: bool = True
+    schedule_steps: int | None = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array, train: bool) -> Array:
         if self.use_bn:
-            x = MaskedBatchNorm(momentum=self.momentum)(x, mask, train)
+            x = MaskedBatchNorm(
+                momentum=self.momentum, schedule_steps=self.schedule_steps
+            )(x, mask, train)
         x = nn.relu(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
@@ -132,10 +136,18 @@ class MaskedBatchNorm(nn.Module):
 
     Plain ``nn.BatchNorm`` would fold zero padding into the statistics; with
     variable true point counts that skews activations, so moments are computed
-    under the mask explicitly."""
+    under the mask explicitly.
+
+    ``schedule_steps`` enables the TF1 reference's decaying-momentum schedule
+    (PointNet lineage, mirrored by MCCNN's task scripts): momentum(step) =
+    min(0.99, 1 - 0.5 * 0.5^(step/schedule_steps)) — early training averages
+    fast (momentum 0.5), late training averages slowly (0.99). The step
+    counter lives in ``batch_stats`` so it checkpoints/restores with the
+    running moments."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    schedule_steps: int | None = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array, train: bool) -> Array:
@@ -155,8 +167,18 @@ class MaskedBatchNorm(nn.Module):
             n = jnp.maximum(m.sum(), 1.0)
             mean = (xf * m).sum(0) / n
             var = ((xf - mean) ** 2 * m).sum(0) / n
-            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+            if self.schedule_steps:
+                cnt = self.variable(
+                    "batch_stats", "count", lambda: jnp.zeros((), jnp.float32)
+                )
+                mom = jnp.minimum(
+                    1.0 - 0.5 * 0.5 ** (cnt.value / self.schedule_steps), 0.99
+                )
+                cnt.value = cnt.value + 1.0
+            else:
+                mom = self.momentum
+            ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+            ra_var.value = mom * ra_var.value + (1 - mom) * var
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) / jnp.sqrt(var + self.epsilon)
@@ -172,14 +194,22 @@ class FullyConnected(nn.Module):
     activation: Callable | None = nn.relu
     use_bn: bool = True
     momentum: float = 0.9
+    schedule_steps: int | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         x = nn.Dense(self.features)(x)
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=self.momentum
-            )(x)
+            if self.schedule_steps:
+                # decaying-momentum schedule needs our own BN (flax BatchNorm
+                # momentum is static); full mask — head features are unpadded
+                x = MaskedBatchNorm(schedule_steps=self.schedule_steps)(
+                    x, jnp.ones(x.shape[:-1], bool), train
+                )
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=self.momentum
+                )(x)
         if self.activation is not None:
             x = self.activation(x)
         if self.drop_rate > 0.0:

@@ -27,6 +27,7 @@ class MCClass(nn.Module):
     point_drop_rate: float = 0.2  # dropout on per-point features mid-trunk
     use_pdf: bool = True
     bn_momentum: float = 0.9
+    bn_schedule_steps: int | None = None
 
     @nn.compact
     def __call__(
@@ -49,7 +50,7 @@ class MCClass(nn.Module):
         x = MCConv(c_in=features.shape[-1], c_out=g, use_pdf=self.use_pdf, name="stem")(
             cache, 0, 0, self.radii[0], features
         )
-        x = BatchNormReluDropout(momentum=self.bn_momentum)(x, hier.levels[0].mask, train)
+        x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, hier.levels[0].mask, train)
 
         widths = [2 * g, 4 * g, 8 * g, 16 * g]  # per level after downsampling
         n_levels = len(hier)
@@ -67,25 +68,25 @@ class MCClass(nn.Module):
                 name=f"down_{lvl}_{out_level}",
             )(cache, lvl, out_level, radius, x)
             x = BatchNormReluDropout(
-                momentum=self.bn_momentum,
+                momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps,
                 drop_rate=self.point_drop_rate if train else 0.0,
             )(x, out_mask, train)
             x = Conv1x1(widths[min(lvl, len(widths) - 1)], name=f"mix_{out_level}")(x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
             # Same-level depthwise conv with residual mixing (except global lvl).
             if out_level < n_levels - 1:
                 y = MCConv(
                     c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
                     name=f"same_{out_level}",
                 )(cache, out_level, out_level, self.radii[lvl] * self.conv_radius_scale, x)
-                y = BatchNormReluDropout(momentum=self.bn_momentum)(y, out_mask, train)
+                y = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(y, out_mask, train)
                 x = x + Conv1x1(x.shape[-1], name=f"same_mix_{out_level}")(y)
 
         x = x[:, 0]
-        x = FullyConnected(8 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum)(
+        x = FullyConnected(8 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
             x, train
         )
-        x = FullyConnected(2 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum)(
+        x = FullyConnected(2 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
             x, train
         )
         return nn.Dense(self.n_classes, name="logits")(x)

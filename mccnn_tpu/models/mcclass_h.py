@@ -32,6 +32,7 @@ class _Trunk(nn.Module):
     neighbor_k: int
     use_pdf: bool
     bn_momentum: float
+    bn_schedule_steps: int | None = None
     start_level: int = 0
 
     @nn.compact
@@ -51,7 +52,7 @@ class _Trunk(nn.Module):
                 c_in=x.shape[-1], c_out=w, use_pdf=self.use_pdf,
                 name=f"conv_{in_level}_{out_level}",
             )(cache, in_level, out_level, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
                 x, hier.levels[out_level].mask, train
             )
         return x[:, 0]
@@ -68,6 +69,7 @@ class MCClassH(nn.Module):
     drop_rate: float = 0.5
     use_pdf: bool = True
     bn_momentum: float = 0.9
+    bn_schedule_steps: int | None = None
 
     @nn.compact
     def __call__(
@@ -93,6 +95,7 @@ class MCClassH(nn.Module):
             neighbor_k=self.neighbor_k,
             use_pdf=self.use_pdf,
             bn_momentum=self.bn_momentum,
+            bn_schedule_steps=self.bn_schedule_steps,
             name="path_a",
         )(hier_a, features, train)
 
@@ -122,17 +125,18 @@ class MCClassH(nn.Module):
             neighbor_k=self.neighbor_k,
             use_pdf=self.use_pdf,
             bn_momentum=self.bn_momentum,
+            bn_schedule_steps=self.bn_schedule_steps,
             start_level=1,
             name="path_b",
         )(hier_b, feats_b, train)
 
         def head(x, name):
             x = FullyConnected(
-                4 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum,
+                4 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps,
                 name=f"{name}_fc1",
             )(x, train)
             x = FullyConnected(
-                g, drop_rate=self.drop_rate, momentum=self.bn_momentum,
+                g, drop_rate=self.drop_rate, momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps,
                 name=f"{name}_fc2",
             )(x, train)
             return nn.Dense(self.n_classes, name=f"{name}_logits")(x)

@@ -27,6 +27,7 @@ class MCClassS(nn.Module):
     drop_rate: float = 0.5
     use_pdf: bool = True
     bn_momentum: float = 0.9
+    bn_schedule_steps: int | None = None
 
     @nn.compact
     def __call__(
@@ -58,15 +59,15 @@ class MCClassS(nn.Module):
                 c_in=x.shape[-1], c_out=w, use_pdf=self.use_pdf,
                 name=f"conv_{in_level}_{out_level}",
             )(cache, in_level, out_level, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
                 x, hier.levels[out_level].mask, train
             )
 
         x = x[:, 0]  # (B, 8g) — the global level has one point per cloud
-        x = FullyConnected(4 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum)(
+        x = FullyConnected(4 * g, drop_rate=self.drop_rate, momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
             x, train
         )
-        x = FullyConnected(g, drop_rate=self.drop_rate, momentum=self.bn_momentum)(
+        x = FullyConnected(g, drop_rate=self.drop_rate, momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
             x, train
         )
         return nn.Dense(self.n_classes, name="logits")(x)

@@ -23,6 +23,7 @@ class MCNorm(nn.Module):
     neighbor_k: int = 32
     use_pdf: bool = True
     bn_momentum: float = 0.9
+    bn_schedule_steps: int | None = None
 
     @nn.compact
     def __call__(
@@ -52,7 +53,7 @@ class MCNorm(nn.Module):
                 c_in=x.shape[-1], c_out=widths[lvl], use_pdf=self.use_pdf,
                 name=f"enc_{lvl}_{lvl + 1}",
             )(cache, lvl, lvl + 1, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(
                 x, hier.levels[lvl + 1].mask, train
             )
             skips.append(x)
@@ -66,11 +67,11 @@ class MCNorm(nn.Module):
                 name=f"dec_{lvl + 1}_{lvl}",
             )(cache, lvl + 1, lvl, radius, x)
             out_mask = hier.levels[lvl].mask
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
             if lvl > 0:
                 x = jnp.concatenate([x, skips[lvl - 1]], axis=-1)
             x = Conv1x1(max(x.shape[-1] // 2, g), name=f"dec_mix_{lvl}")(x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
 
         normals = nn.Dense(3, name="normals")(x)
         return jnp.where(mask[..., None], normals, 0.0)
@@ -85,6 +86,7 @@ class MCNormS(nn.Module):
     neighbor_k: int = 32
     use_pdf: bool = True
     bn_momentum: float = 0.9
+    bn_schedule_steps: int | None = None
 
     @nn.compact
     def __call__(
@@ -102,6 +104,7 @@ class MCNormS(nn.Module):
             neighbor_k=self.neighbor_k,
             use_pdf=self.use_pdf,
             bn_momentum=self.bn_momentum,
+            bn_schedule_steps=self.bn_schedule_steps,
             name="trunk",
         )
         return m(points, mask, features, train=train)

@@ -27,6 +27,7 @@ class MCSeg(nn.Module):
     drop_rate: float = 0.2
     use_pdf: bool = True
     bn_momentum: float = 0.9
+    bn_schedule_steps: int | None = None
 
     @nn.compact
     def __call__(
@@ -59,7 +60,7 @@ class MCSeg(nn.Module):
         x = MCConv(
             c_in=features.shape[-1], c_out=g, use_pdf=self.use_pdf, name="stem"
         )(cache, 0, 0, self.radii[0], features)
-        x = BatchNormReluDropout(momentum=self.bn_momentum)(x, mask, train)
+        x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, mask, train)
 
         skips = [x]
         for lvl in range(n_levels - 1):
@@ -69,9 +70,9 @@ class MCSeg(nn.Module):
                 c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
                 name=f"enc_{lvl}_{lvl + 1}",
             )(cache, lvl, lvl + 1, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
             x = Conv1x1(widths[lvl] * 2, name=f"enc_mix_{lvl + 1}")(x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
             if lvl + 1 < n_levels - 1:
                 skips.append(x)
 
@@ -82,11 +83,11 @@ class MCSeg(nn.Module):
                 c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
                 name=f"dec_{lvl + 1}_{lvl}",
             )(cache, lvl + 1, lvl, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum)(x, out_mask, train)
+            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
             x = jnp.concatenate([x, skips[lvl]], axis=-1)
             x = Conv1x1(max(x.shape[-1] // 2, g), name=f"dec_mix_{lvl}")(x)
             x = BatchNormReluDropout(
-                momentum=self.bn_momentum,
+                momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps,
                 drop_rate=self.drop_rate if lvl == 0 else 0.0,
             )(x, out_mask, train)
 

@@ -37,6 +37,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--grow", type=int, default=None, help="model width knob")
+    p.add_argument(
+        "--bn-decay-steps",
+        type=int,
+        default=None,
+        help="enable the reference's TF1 BN decaying-momentum schedule "
+        "(0.5 -> 0.99 over this many steps); default: fixed momentum 0.9",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--log-dir", type=str, default="logs")

@@ -25,11 +25,15 @@ from .common import Runner, base_parser
 MODELS = {"MCClassS": MCClassS, "MCClass": MCClass, "MCClassH": MCClassH}
 
 
-def build_model(name: str, n_classes: int, grow: int | None):
+def build_model(
+    name: str, n_classes: int, grow: int | None, bn_decay_steps: int | None = None
+):
     cls = MODELS[name]
     kw = {"n_classes": n_classes}
     if grow:
         kw["grow"] = grow
+    if bn_decay_steps:
+        kw["bn_schedule_steps"] = bn_decay_steps
     return cls(**kw)
 
 
@@ -121,7 +125,7 @@ def main(argv=None):
         test_src = datasets.load_modelnet40(args.data, "test")
         n_classes = len(train_src.class_names)
 
-    model = build_model(args.model, n_classes, args.grow)
+    model = build_model(args.model, n_classes, args.grow, args.bn_decay_steps)
     example = next(
         train_src.batches(args.batch, args.points, np.random.default_rng(0))
     )

@@ -100,6 +100,8 @@ def main(argv=None):
     kw = {}
     if args.grow:
         kw["grow"] = args.grow
+    if args.bn_decay_steps:
+        kw["bn_schedule_steps"] = args.bn_decay_steps
     model = MODELS[args.model](**kw)
 
     def loss_fn(pred, batch):

@@ -171,6 +171,8 @@ def main(argv=None):
     kw = {"n_classes": n_classes, "radii": (0.05, 0.15, 0.4)}
     if args.grow:
         kw["grow"] = args.grow
+    if args.bn_decay_steps:
+        kw["bn_schedule_steps"] = args.bn_decay_steps
     model = MCSeg(**kw)
 
     def loss_fn(logits, batch):

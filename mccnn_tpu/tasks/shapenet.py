@@ -90,6 +90,8 @@ def main(argv=None):
     kw = {"n_classes": train_src.n_parts}
     if args.grow:
         kw["grow"] = args.grow
+    if args.bn_decay_steps:
+        kw["bn_schedule_steps"] = args.bn_decay_steps
     model = MCSeg(**kw)
 
     def loss_fn(logits, batch):

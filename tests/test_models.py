@@ -89,3 +89,33 @@ def test_grads_flow_end_to_end(rng):
     norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
+
+def test_bn_decaying_momentum_schedule():
+    """TF1-style BN decay schedule: early steps average fast (momentum 0.5),
+    the step counter advances, and running stats move much more per step than
+    with the late-training momentum (VERDICT r1 #5 / SURVEY §7 hard parts)."""
+    import jax
+    import jax.numpy as jnp
+    from mccnn_tpu.models.layers import MaskedBatchNorm
+
+    bn = MaskedBatchNorm(schedule_steps=100)
+    x = jnp.ones((4, 16, 8)) * 3.0
+    mask = jnp.ones((4, 16), bool)
+    variables = bn.init(jax.random.PRNGKey(0), x, mask, True)
+    assert float(variables["batch_stats"]["count"]) == 1.0
+
+    vars2 = variables
+    for _ in range(3):
+        _, upd = bn.apply(vars2, x, mask, True, mutable=["batch_stats"])
+        vars2 = {**vars2, "batch_stats": upd["batch_stats"]}
+    assert float(vars2["batch_stats"]["count"]) == 4.0
+    # momentum at step ~0 is 0.5: mean moves halfway toward 3.0 per step
+    m = float(vars2["batch_stats"]["mean"][0])
+    assert 2.0 < m < 3.0, m
+
+    # fixed-momentum module has no counter and moves slowly
+    bn_fixed = MaskedBatchNorm(momentum=0.99)
+    vf = bn_fixed.init(jax.random.PRNGKey(0), x, mask, True)
+    assert "count" not in vf["batch_stats"]
+    assert float(vf["batch_stats"]["mean"][0]) < 0.1
