@@ -8,9 +8,12 @@ neighbor capacity, B*M = 8192 sample points per layer application at
 N = 1024 sources/cloud — the ModelNet40-scale hot-loop configuration.
 
 Methodology: the op is chained through ``lax.scan`` (each iteration's grads
-feed the next iteration's features) so one device program amortizes the
-~30 ms host→TPU dispatch overhead of this environment and timing reflects
-steady-state per-layer cost, serialized by true data dependencies.
+feed the next iteration's features), serialized by true data dependencies,
+and the per-layer cost is the CHAIN-LENGTH DIFFERENCE
+``(T(long) - T(short)) / (long - short)`` — this cancels the fixed ~27 ms
+host→TPU dispatch round-trip of this environment exactly (round 1 divided a
+single chain's total by its length, which buried the kernel under ~0.9 ms of
+amortized dispatch per layer: a no-op kernel measured 0.86 ms at chain=30).
 
 ``vs_baseline``: BASELINE.json ships ``published: {}`` — the CUDA reference
 publishes no op throughput and no CUDA GPU exists here to measure one.  We use
@@ -33,7 +36,7 @@ import numpy as np
 CUDA_BASELINE_ESTIMATE_MPOINTS = 30.0
 
 B, N, M, K, C = 8, 1024, 1024, 32, 128
-CHAIN = 30
+CHAIN_SHORT, CHAIN_LONG = 64, 320
 RADIUS = 0.2
 
 # Last measurement verified on the real chip (updated whenever bench runs
@@ -87,28 +90,44 @@ def main() -> None:
     nbh = radius_neighbors(pts, mask, pts, mask, RADIUS, K)
     grid = build_buckets(pts, mask, RADIUS, cap=16)
 
-    def timed(conv_fn):
+    def timed(conv_fn, full_grad=True):
+        """Steady-state per-layer seconds via chain-length difference.
+
+        ``full_grad=True`` differentiates w.r.t. params AND features — the
+        complete backward (the CUDA reference's SpatialConvGrad computes both
+        in one kernel). Feature-only grads would let XLA dead-code-eliminate
+        the dparam pass entirely."""
+
         def loss(p, f):
             return jnp.sum(conv_fn(p, f) ** 2)
 
-        grad_f = jax.grad(loss, argnums=1)
+        grad_fn = jax.grad(loss, argnums=(0, 1) if full_grad else 1)
 
         @functools.partial(jax.jit, static_argnums=2)
         def chain(p, f, n):
             def body(carry, _):
-                g = grad_f(p, carry)  # fwd+bwd, serialized through the carry
+                if full_grad:
+                    gp, g = grad_fn(p, carry)
+                    # keep param grads live through the carry so nothing DCEs
+                    g = g + 1e-12 * jnp.sum(gp.w1) + 1e-12 * jnp.sum(gp.w2)
+                else:
+                    g = grad_fn(p, carry)
                 return carry + 1e-6 * g, 0
 
             out, _ = jax.lax.scan(body, f, None, length=n)
             return out.sum()
 
-        float(chain(params, feats, CHAIN))  # compile
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(chain(params, feats, CHAIN))
-            best = min(best, (time.perf_counter() - t0) / CHAIN)
-        return best
+        def best_of(n, reps=4):
+            float(chain(params, feats, n))  # compile
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chain(params, feats, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_long, t_short = best_of(CHAIN_LONG), best_of(CHAIN_SHORT)
+        return (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT)
 
     best_jnp = timed(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
     best_bucket = timed(
@@ -136,8 +155,9 @@ def main() -> None:
         )
     )
     print(
-        f"# config B={B} N={N} M={M} K={K} C={C} chain={CHAIN} "
-        f"per-layer fwd+bwd {best * 1e3:.3f} ms on {jax.devices()[0]}",
+        f"# config B={B} N={N} M={M} K={K} C={C} "
+        f"chain_diff={CHAIN_SHORT}->{CHAIN_LONG} "
+        f"per-layer full fwd+bwd {best * 1e3:.3f} ms on {jax.devices()[0]}",
         file=sys.stderr,
     )
 

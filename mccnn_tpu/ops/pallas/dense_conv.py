@@ -14,10 +14,13 @@ pure overhead. This kernel keeps the same bilinear factorization and
   MXU that is still far cheaper than any gather-based sparsity on TPU at
   these sizes.
 
-Backward mirrors the bucket kernel: a source-tile pass for d/dfeatures (each
-source row written exactly once — deterministic) and a sample-tile pass
-accumulating parameter gradients. Semantics are identical to ``core.mc_conv``
-with unbounded neighbor capacity (exact counts, all in-radius neighbors).
+Backward is ONE fused pass gridded over source tiles: d/dfeatures (each
+source row written exactly once — deterministic) and the parameter gradients
+(accumulated across the sequentially-executed grid — bitwise reproducible)
+come out of a single traversal of the pair plane, so the d2/pre/relu planes
+are generated once instead of twice. Semantics are identical to
+``core.mc_conv`` with unbounded neighbor capacity (exact counts, all
+in-radius neighbors).
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ from .mcconv_kernel import (
     FEAT_DTYPE,
     LANE,
     W1_ROWS,
+    _HI,
     _lane_mask,
     _mm,
     _pair_d2,
@@ -120,17 +124,38 @@ def _fwd_kernel(
     cnt_ref[0] = cnt[:, None]
 
 
-def _dfeat_kernel(
+def _bwd_kernel(
     spec: _DSpec,
     src_t_ref,  # (1, 8, TILE) — this tile of sources, transposed
     smp_meta_ref,  # (1, M, 128) f32 VMEM (full; lane 3 = cnt)
-    dout_ref,  # (1, M, C') bf16 VMEM (full)
+    dout_ref,  # (1, M, C') f32 VMEM (full)
+    src_feat_ref,  # (1, TILE, C) bf16 — THIS tile's weighted features
     w1_ref,
     b1_ref,
     w2_ref,
     b2_ref,
     dfeat_ref,  # (1, TILE, C)
+    dw1_ref,  # (8, H) accumulated across grid steps
+    db1_ref,  # (H, 1)
+    dw2_ref,  # (H, C) | (H, C, CO)
+    db2_ref,  # (1, C) | (C, CO)
 ):
+    """FUSED backward: d/dfeatures for this source tile AND parameter-grad
+    contributions, in ONE pass over the pair plane. The split design (round
+    1) generated the d2/pre/relu planes twice — once per backward kernel;
+    fusing halves the plane work and drops a whole kernel dispatch. Each
+    source slot is still written exactly once (deterministic), and the param
+    grads accumulate over a sequentially-executed grid (bitwise
+    reproducible)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
     src_t = src_t_ref[0]
     meta = smp_meta_ref[0]  # (M, 128)
     is_cnt = _lane_mask(meta.shape, CNT_LANE)
@@ -158,20 +183,51 @@ def _dfeat_kernel(
     else:
         # cnt lane only marks real rows; garbage rows pair with zero dout
         inv_cnt = jnp.ones_like(wc)
-    invdout = dout_ref[0].astype(jnp.float32) * inv_cnt  # (M, C')
+    invdout = dout_ref[0] * inv_cnt  # (M, C') f32
+    fz = src_feat_ref[0]  # (TILE, C) bf16
+    q8 = q[:, :W1_ROWS]  # (M, 8); rows 3.. feed dw1 rows the caller discards
 
     acc = jnp.zeros((TILE, spec.C), jnp.float32)
     for h in range(spec.H):
+        # offset = src_p - smp_q  =>  pre_h[q, p] = spT[h, p] - cwq[q, h] + b1
         pre = spT[h : h + 1, :] - cwq[:, h : h + 1] + b1_ref[h, 0]
+        relu_on = (pre > 0.0).astype(jnp.float32) * maskf
         a_h = jnp.maximum(pre, 0.0) * maskf  # (M, TILE)
         if spec.CO is None:
-            t_h = invdout * w2_ref[h : h + 1, :]
+            t_h = invdout * w2_ref[h : h + 1, :]  # (M, C)
         else:
             t_h = jax.lax.dot_general(
                 invdout, w2_ref[h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )  # (M, C)
+        acc += _mm(a_h, t_h, ((0,), (0,)))  # dfeat: (TILE, C)
+
+        # --- parameter grads (this tile's contribution) ---
+        g_h = _mm(a_h, fz, ((1,), (0,)))  # (M, C): sum over tile sources
+        if spec.CO is None:
+            dw2_ref[h : h + 1, :] += jnp.sum(
+                invdout * g_h, axis=0, keepdims=True
             )
-        acc += _mm(a_h, t_h, ((0,), (0,)))  # (TILE, C)
+        else:
+            dw2_ref[h] += jax.lax.dot_general(
+                g_h, invdout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, CO)
+        da_h = _mm(t_h, fz, ((1,), (1,)))  # (M, TILE)
+        dpre = da_h * relu_on
+        rq = jnp.sum(dpre, axis=1, keepdims=True)  # (M, 1)
+        rp = jnp.sum(dpre, axis=0, keepdims=True)  # (1, TILE)
+        t_src = jax.lax.dot_general(
+            src_t, rp, (((1,), (1,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        t_smp = jax.lax.dot_general(
+            q8, rq, (((0,), (0,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        dw1_ref[:, h : h + 1] += (t_src - t_smp) * inv_r
+        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
+
     if spec.CO is None:
         t_0 = invdout * b2_ref[:]
     else:
@@ -182,89 +238,7 @@ def _dfeat_kernel(
     acc += _mm(maskf, t_0, ((0,), (0,)))
     dfeat_ref[0] = acc
 
-
-def _dparam_kernel(
-    spec: _DSpec,
-    n_steps: int,
-    smp_t_ref,  # (1, 8, TILE)
-    dout_ref,  # (1, TILE, C') f32
-    src_pos_ref,  # (1, N, 128) full
-    src_feat_ref,  # (1, N, C) full
-    w1_ref,
-    b1_ref,
-    w2_ref,
-    dw1_ref,  # (8, H)
-    db1_ref,  # (H, 1)
-    dw2_ref,
-    db2_ref,
-):
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _init():
-        dw1_ref[:] = jnp.zeros_like(dw1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
-
-    smp_t = smp_t_ref[0]
-    cand = src_pos_ref[0]
-    d2 = _pair_d2(cand, smp_t)
-    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
-    cnt = jnp.sum(maskf, axis=0)
-    if spec.mean_norm:
-        inv = 1.0 / jnp.maximum(cnt, 1.0)
-    else:
-        inv = jnp.ones_like(cnt)
-    invdout = dout_ref[0] * inv[:, None]
-
-    inv_r = 1.0 / spec.radius
-    cand8 = cand[:, :W1_ROWS]
-    cw = jnp.dot(cand8, w1_ref[:], preferred_element_type=jnp.float32) * inv_r
-    swT = (
-        jax.lax.dot_general(
-            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * inv_r
-    )
-    fz = src_feat_ref[0]
-
-    for h in range(spec.H):
-        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
-        relu_on = (pre > 0.0).astype(jnp.float32) * maskf
-        a_h = jnp.maximum(pre, 0.0) * maskf
-        g_h = _mm(a_h, fz, ((0,), (0,)))  # (TILE, C)
-        if spec.CO is None:
-            dw2_ref[h : h + 1, :] += jnp.sum(invdout * g_h, axis=0, keepdims=True)
-            u_h = invdout * w2_ref[h : h + 1, :]
-        else:
-            dw2_ref[h] += jax.lax.dot_general(
-                g_h, invdout, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            u_h = jax.lax.dot_general(
-                invdout, w2_ref[h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        da_h = _mm(fz, u_h, ((1,), (1,)))  # (N, TILE)
-        dpre = da_h * relu_on
-        rp = jnp.sum(dpre, axis=1, keepdims=True)  # (N, 1)
-        rs = jnp.sum(dpre, axis=0, keepdims=True)  # (1, TILE)
-        t1 = jax.lax.dot_general(
-            cand8, rp, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (8, 1)
-        t2 = jax.lax.dot_general(
-            smp_t, rs, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (8, 1)
-        dw1_ref[:, h : h + 1] += (t1 - t2) * inv_r
-        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
-
-    g_0 = _mm(maskf, fz, ((0,), (0,)))
+    g_0 = _mm(maskf, fz, ((1,), (0,)))  # (M, C)
     if spec.CO is None:
         db2_ref[:] += jnp.sum(invdout * g_0, axis=0, keepdims=True)
     else:
@@ -321,69 +295,46 @@ def _fwd_call(spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
     return out, cnt
 
 
-def _dfeat_call(spec, B, src_t, smp_meta, dout, w1, b1, w2, b2):
+def _bwd_call(spec, B, src_t, smp_meta, dout, src_feat, w1, b1, w2, b2):
     n_tiles = spec.N // TILE
     ix = _tile_ix(n_tiles)
     full = lambda s: (ix(s)[0], 0, 0)
     CO = spec.C if spec.CO is None else spec.CO
-    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    (dfeat,) = pl.pallas_call(
-        functools.partial(_dfeat_kernel, spec),
-        grid=(B * n_tiles,),
-        in_specs=[
-            vm((1, 8, TILE), ix),
-            vm((1, spec.M, LANE), full),
-            vm((1, spec.M, CO), full),
-            vm(),
-            vm(),
-            vm(),
-            vm(),
-        ],
-        out_specs=[vm((1, TILE, spec.C), ix)],
-        out_shape=[jax.ShapeDtypeStruct((B, spec.N, spec.C), jnp.float32)],
-        interpret=spec.interpret,
-    )(src_t, smp_meta, dout, w1, b1, w2, b2)
-    return dfeat
-
-
-def _dparam_call(spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2):
-    n_tiles = spec.M // TILE
-    ix = _tile_ix(n_tiles)
-    full = lambda s: (ix(s)[0], 0, 0)
-    CO = spec.C if spec.CO is None else spec.CO
-    n_steps = B * n_tiles
     const2 = lambda s: (0, 0)
     const3 = lambda s: (0, 0, 0)
     w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
     b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_dparam_kernel, spec, n_steps),
-        grid=(n_steps,),
+    dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid=(B * n_tiles,),
         in_specs=[
             vm((1, 8, TILE), ix),
-            vm((1, TILE, CO), ix),
-            vm((1, spec.N, LANE), full),
-            vm((1, spec.N, spec.C), full),
+            vm((1, spec.M, LANE), full),
+            vm((1, spec.M, CO), full),
+            vm((1, TILE, spec.C), ix),
+            vm(),
             vm(),
             vm(),
             vm(),
         ],
         out_specs=[
+            vm((1, TILE, spec.C), ix),
             vm((W1_ROWS, spec.H), const2),
             vm((spec.H, 1), const2),
             vm(w2_shape, const2 if spec.CO is None else const3),
             vm(b2_shape, const2),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((B, spec.N, spec.C), jnp.float32),
             jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
             jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
             jax.ShapeDtypeStruct(w2_shape, jnp.float32),
             jax.ShapeDtypeStruct(b2_shape, jnp.float32),
         ],
         interpret=spec.interpret,
-    )(smp_t, dout, src_pos, src_feat, w1, b1, w2)
-    return dw1, db1, dw2, db2
+    )(src_t, smp_meta, dout, src_feat, w1, b1, w2, b2)
+    return dfeat, dw1, db1, dw2, db2
 
 
 # ----------------------------------------------------------------------------
@@ -411,11 +362,8 @@ def _core_bwd(spec, res, dout):
     B = smp_t.shape[0]
     is_cnt = jax.lax.broadcasted_iota(jnp.int32, smp_pos.shape, 2) == CNT_LANE
     smp_meta = jnp.where(is_cnt, cnt, smp_pos)
-    dfeat = _dfeat_call(
-        spec, B, src_t, smp_meta, dout.astype(FEAT_DTYPE), w1, b1, w2, b2
-    )
-    dw1, db1, dw2, db2 = _dparam_call(
-        spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2
+    dfeat, dw1, db1, dw2, db2 = _bwd_call(
+        spec, B, src_t, smp_meta, dout, src_feat, w1, b1, w2, b2
     )
     return (
         dw1,
