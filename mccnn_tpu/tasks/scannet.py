@@ -145,13 +145,147 @@ def predict_scene(
     return pred
 
 
+def train_spatial(args) -> dict:
+    """Whole-scene training with the point set spatially sharded across
+    devices (SURVEY §5.7; VERDICT r1 #4): slabs along x, halo exchange over
+    ICI, hierarchy built by the boundary-reconciled sharded Poisson sampler.
+    Unlike the block path (reference parity), cross-block context flows
+    through the halos — one scene = one global training example."""
+    import jax
+    import optax
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharded_hierarchy import (
+        init_sharded_mcseg,
+        sharded_mcseg_apply,
+    )
+    from ..parallel.spatial import shard_points_by_slab
+    from ..train.metrics import MetricsLogger
+
+    n_sh = args.spatial_shards
+    devs = jax.devices()
+    if len(devs) < n_sh:
+        raise SystemExit(
+            f"--spatial-shards {n_sh} needs {n_sh} devices, have {len(devs)}"
+        )
+    mesh = Mesh(np.asarray(devs[:n_sh]), ("spatial",))
+    n_classes = args.n_classes or 8
+    radii = (0.02, 0.04)  # unit-cube scenes; conv radius 2x stays < slab/2
+    halo_cap = args.halo_cap
+
+    rng = np.random.default_rng(args.seed)
+    n_scenes, n_pts = 6, args.points
+    scenes, labels = [], []
+    for _ in range(n_scenes):
+        pts = rng.uniform(0, 1, size=(n_pts, 3)).astype(np.float32)
+        lab = np.digitize(
+            pts[:, 2], np.linspace(0, 1, n_classes + 1)[1:-1]
+        ).astype(np.int32)
+        scenes.append(pts)
+        labels.append(lab)
+
+    cap = int(-(-max(len(s) for s in scenes) * 2 // n_sh // 8) * 8)
+
+    def shard_scene(pts, lab):
+        sp, sm, sidx = shard_points_by_slab(pts, np.ones(len(pts), bool), n_sh, cap)
+        sl = np.zeros((n_sh, cap), np.int32)
+        sf = np.ones((n_sh, cap, 1), np.float32)
+        for s in range(n_sh):
+            v = sidx[s] >= 0
+            sl[s, v] = lab[sidx[s][v]]
+        return sp, sm, sf, sl
+
+    sharded = [shard_scene(p, l) for p, l in zip(scenes, labels)]
+
+    params = init_sharded_mcseg(
+        jax.random.PRNGKey(args.seed), 1, (args.grow or 16, 2 * (args.grow or 16)),
+        n_classes,
+    )
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+    repl = NamedSharding(mesh, P())
+    params, opt_state = jax.device_put((params, opt_state), repl)
+
+    p_spec = jax.tree.map(lambda _: P(), params)
+
+    def apply_sharded(params, sp, sm, sf):
+        def fn(params, p_, m_, f_):
+            logits, _, ovf = sharded_mcseg_apply(
+                params, p_[0], m_[0], f_[0], radii=radii, halo_cap=halo_cap,
+                axis_name="spatial", n_shards=n_sh, neighbor_k=16,
+            )
+            return logits[None], ovf[None]
+
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=(p_spec, P("spatial"), P("spatial"), P("spatial")),
+            out_specs=(P("spatial"), P("spatial")),
+            check_vma=False,
+        )(params, sp, sm, sf)
+
+    def loss_fn(params, sp, sm, sf, sl):
+        logits, ovf = apply_sharded(params, sp, sm, sf)
+        logp = jax.nn.log_softmax(logits)
+        ll = jnp.take_along_axis(logp, sl[..., None], axis=-1)[..., 0]
+        m = sm.astype(jnp.float32)
+        loss = -(ll * m).sum() / jnp.maximum(m.sum(), 1.0)
+        acc = (((logits.argmax(-1) == sl) & sm).sum() / jnp.maximum(m.sum(), 1.0))
+        return loss, (acc, ovf.sum())
+
+    @jax.jit
+    def step(params, opt_state, sp, sm, sf, sl):
+        (loss, (acc, ovf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, sp, sm, sf, sl
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, acc, ovf
+
+    metrics = MetricsLogger(args.log_dir, args.run_name or "scannet_spatial")
+    it = 0
+    last = {}
+    with mesh:
+        for epoch in range(args.epochs):
+            for sp, sm, sf, sl in sharded:
+                params, opt_state, loss, acc, ovf = step(
+                    params, opt_state, jnp.asarray(sp), jnp.asarray(sm),
+                    jnp.asarray(sf), jnp.asarray(sl),
+                )
+                it += 1
+                if int(ovf):
+                    raise RuntimeError(
+                        f"halo overflow {int(ovf)}: raise --halo-cap"
+                    )
+                if args.steps_per_epoch and it >= args.steps_per_epoch * (epoch + 1):
+                    break
+            last = {
+                "loss": float(loss),
+                "point_accuracy": float(acc),
+                "shards": n_sh,
+            }
+            metrics.log(it, tag="train_spatial", epoch=epoch, **last)
+    metrics.close()
+    return last
+
+
 def main(argv=None):
     p = base_parser("ScanNet semantic segmentation (MCSeg)")
     p.add_argument("--n-classes", type=int, default=None)
     p.add_argument("--block-size", type=float, default=1.5)
     p.add_argument("--blocks-per-epoch", type=int, default=None)
+    p.add_argument(
+        "--spatial-shards",
+        type=int,
+        default=1,
+        help="shard each scene spatially across this many devices (halo "
+        "exchange over ICI) instead of training independent blocks",
+    )
+    p.add_argument("--halo-cap", type=int, default=1024)
     p.set_defaults(points=8192, batch=8)
     args = p.parse_args(argv)
+
+    if args.spatial_shards > 1:
+        return train_spatial(args)
 
     rng = np.random.default_rng(args.seed)
     if args.synthetic:

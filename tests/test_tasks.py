@@ -170,3 +170,20 @@ def test_eval_ragged_final_batch(tmp_path):
     )
     assert 0.0 <= res["accuracy"] <= 1.0
     runner.close()
+
+
+def test_scannet_spatial_shards(tmp_path):
+    """Whole-scene spatially-sharded training path (--spatial-shards) on the
+    8-device CPU mesh: loss finite, accuracy sane, no halo overflow."""
+    from mccnn_tpu.tasks import scannet
+
+    res = scannet.main(
+        [
+            "--synthetic", "--spatial-shards", "8", "--points", "4096",
+            "--epochs", "2", "--steps-per-epoch", "2", "--grow", "8",
+            "--log-dir", str(tmp_path / "lg"),
+        ]
+    )
+    assert np.isfinite(res["loss"])
+    assert 0.0 <= res["point_accuracy"] <= 1.0
+    assert res["shards"] == 8
