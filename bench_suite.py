@@ -17,7 +17,10 @@ import time
 import numpy as np
 
 
-def chain_time(fn, carrier, n=20, repeats=2):
+def chain_time(fn, carrier, n_short=8, n_long=40, repeats=2):
+    """Steady-state per-iteration seconds via chain-length difference —
+    cancels this environment's fixed ~27 ms dispatch round-trip exactly
+    (see docs/ROOFLINE.md for why dividing one chain's total misleads)."""
     import jax
     import jax.numpy as jnp
 
@@ -29,13 +32,16 @@ def chain_time(fn, carrier, n=20, repeats=2):
         o, _ = jax.lax.scan(body, p, None, length=n)
         return o.sum()
 
-    float(chained(carrier, n))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
+    def best_of(n):
         float(chained(carrier, n))
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chained(carrier, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (best_of(n_long) - best_of(n_short)) / (n_long - n_short)
 
 
 def main():
@@ -62,7 +68,7 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
-    def bench_config(B, N, C, radius, tag):
+    def bench_config(B, N, C, radius, tag, cap=16, jnp_path=True, aux=True):
         pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
         mask = jnp.asarray(np.ones((B, N), bool))
         feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
@@ -70,31 +76,50 @@ def main():
         params = init_mcconv_params(jax.random.PRNGKey(0), C, None)
         mpts = B * N / 1e6
 
-        # fwd+bwd chains
+        # FULL fwd+bwd chains (params AND feature grads — feature-only lets
+        # XLA dead-code-eliminate the dparam work; see docs/ROOFLINE.md)
         def fb(conv):
-            g = jax.grad(lambda p, f: jnp.sum(conv(p, f) ** 2), argnums=1)
-            return chain_time(lambda f: g(params, f).sum(), feats)
+            def loss(p, f):
+                return jnp.sum(conv(p, f) ** 2)
+
+            g = jax.grad(loss, argnums=(0, 1))
+
+            def step(f):
+                gp, gf = g(params, f)
+                return gf.sum() + jnp.sum(gp.w1) + jnp.sum(gp.w2)
+
+            return chain_time(step, feats)
 
         if N <= 4096:
             t = fb(lambda p, f: dense_mc_conv(p, pts, mask, pts, mask, f, pdf, radius))
             rows.append((f"conv dense fwd+bwd {tag}", t, mpts / t))
-        grid = build_buckets(pts, mask, radius, cap=16)
+        grid = build_buckets(pts, mask, radius, cap=cap)
+        assert int(grid.overflow.sum()) == 0, "raise cap for this config"
         t = fb(lambda p, f: bucket_mc_conv(p, grid, mask, grid, f, pdf))
         rows.append((f"conv bucket fwd+bwd {tag}", t, mpts / t))
-        nbh = radius_neighbors(pts, mask, pts, mask, radius, 32)
-        t = fb(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
-        rows.append((f"conv jnp fwd+bwd {tag}", t, mpts / t))
-        t = chain_time(lambda p: kde_density(p, mask, radius).sum(), pts)
-        rows.append((f"kde {tag}", t, mpts / t))
-        t = chain_time(
-            lambda p: poisson_disk(p, mask, radius / 2, N // 2).idx.sum().astype(jnp.float32),
-            pts,
-        )
-        rows.append((f"poisson {tag}", t, mpts / t))
+        if jnp_path:
+            nbh = radius_neighbors(pts, mask, pts, mask, radius, 32)
+            t = fb(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
+            rows.append((f"conv jnp fwd+bwd {tag}", t, mpts / t))
+        if aux:
+            t = chain_time(lambda p: kde_density(p, mask, radius).sum(), pts)
+            rows.append((f"kde {tag}", t, mpts / t))
+            t = chain_time(
+                lambda p: poisson_disk(p, mask, radius / 2, N // 2).idx.sum().astype(jnp.float32),
+                pts,
+            )
+            rows.append((f"poisson {tag}", t, mpts / t))
 
-    bench_config(8, 1024, 128, 0.2, "B8 N1k C128")
+    bench_config(8, 1024, 128, 0.2, "B8 N1k C128", cap=24)
     if not args.quick:
         bench_config(4, 4096, 128, 0.1, "B4 N4k C128")
+        # ScanNet-scale single cloud (VERDICT r1 #6): dense is out of its
+        # depth here (overcompute ~N/K ~ 1900x) — the bucket path is the
+        # big-scene story. jnp/kde/poisson O(N^2) paths skipped.
+        bench_config(
+            1, 32768, 128, 0.05, "B1 N32k C128", cap=16, jnp_path=False,
+            aux=False,
+        )
 
     # end-to-end model step
     B, N = 8, 1024

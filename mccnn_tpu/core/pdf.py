@@ -91,13 +91,36 @@ def kde_density(
     nbr_pts = batched_gather(points, neighborhood.idx)  # (B, N, K, 3)
     d2 = jnp.sum((points[:, :, None, :] - nbr_pts) ** 2, axis=-1)
     kern = jnp.where(neighborhood.mask, jnp.exp(-0.5 * d2 / (h * h)), 0.0)
-    # K-capacity truncation: the kept neighbors are a subsample of the true
-    # in-radius set — rescale the kernel sum by true/kept so the density
-    # estimate stays calibrated in dense regions (the kept set is the NEAREST
-    # K, which over-weights the close-range kernel mass, so this is an
-    # approximation; the dense/Pallas paths are exact).
+    # K-capacity truncation: the kept set is the NEAREST K of the true
+    # in-radius neighbors. The dropped neighbors all lie in the shell
+    # [r_K, radius] (r_K = K-th neighbor distance), so their kernel mass is
+    # estimated in closed form: (count - kept) x the mean Gaussian value over
+    # that shell under a uniform-in-shell assumption. Round 1 instead rescaled
+    # the kept sum by count/kept, which over-estimates badly in dense regions
+    # (far neighbors carry ~zero kernel mass at h = 0.25 r but were credited
+    # with the kept set's average) — quantified in tests/test_pdf.py.
     kept = jnp.maximum(jnp.sum(neighborhood.mask, axis=-1), 1)
-    scale = neighborhood.count.astype(points.dtype) / kept.astype(points.dtype)
+    dropped = jnp.maximum(neighborhood.count - kept, 0).astype(points.dtype)
+    r_k = jnp.sqrt(jnp.max(jnp.where(neighborhood.mask, d2, 0.0), axis=-1))
+    tail = _gaussian_shell_mean(r_k, jnp.float32(radius), h)
     norm = 1.0 / ((h**3) * (2.0 * math.pi) ** 1.5)
-    density = norm * jnp.sum(kern, axis=-1) * jnp.maximum(scale, 1.0)
+    density = norm * (jnp.sum(kern, axis=-1) + dropped * tail)
     return jnp.where(mask, density, 1.0)
+
+
+def _gaussian_shell_mean(d0: Array, d1: Array, h: float) -> Array:
+    """Mean of ``exp(-d^2 / (2 h^2))`` over the spherical shell ``[d0, d1]``
+    (volume-weighted). Closed form via
+    ``int d^2 e^{-d^2/2h^2} dd = -h^2 d e^{-d^2/2h^2} + h^3 sqrt(pi/2) erf(d / (sqrt(2) h))``."""
+    from jax.scipy.special import erf
+
+    s2h = math.sqrt(2.0) * h
+
+    def antideriv(d):
+        return -(h * h) * d * jnp.exp(-0.5 * d * d / (h * h)) + (
+            h**3
+        ) * math.sqrt(math.pi / 2.0) * erf(d / s2h)
+
+    mass = antideriv(d1) - antideriv(d0)  # times 4*pi, cancelled below
+    vol = (d1**3 - d0**3) / 3.0  # shell volume / (4*pi)
+    return jnp.where(vol > 1e-20, mass / jnp.maximum(vol, 1e-20), 0.0)

@@ -68,26 +68,41 @@ class _Spec(NamedTuple):
     radius: float
     mean_norm: bool  # True: divide by neighbor count (usePDF=False mode)
     interpret: bool
+    BZ: int = 2  # z-cells per block ("z-brick"); must divide R
+
+    # A block is a 2x2xBZ cell BRICK. Big scenes have small cell capacities
+    # (occupancy ~4-8), so the round-1 fixed 2x2x2 block starved the MXU lane
+    # dimension (SB = 8*cap < 128); stretching the block along z keeps the
+    # SAME 16 window DMAs per operand (each one contiguous z-run, just
+    # longer) while restoring full-width tiles.
 
     @property
-    def nb(self) -> int:  # 2x2x2 cell blocks per axis
+    def nbx(self) -> int:  # 2-cell blocks per x/y axis
         return self.R // 2
 
     @property
+    def nbz(self) -> int:  # BZ-cell bricks per z axis
+        return self.R // self.BZ
+
+    @property
+    def n_blocks(self) -> int:
+        return self.nbx * self.nbx * self.nbz
+
+    @property
     def SB(self) -> int:  # samples per block
-        return 8 * self.CS
+        return 4 * self.BZ * self.CS
 
     @property
-    def PB(self) -> int:  # sources per block (dfeat pass)
-        return 8 * self.CP
+    def PB(self) -> int:  # sources per block (bwd pass)
+        return 4 * self.BZ * self.CP
 
     @property
-    def WIN_P(self) -> int:  # source-window rows in fwd/dparam
-        return 64 * self.CP
+    def WIN_P(self) -> int:  # source-window rows in fwd
+        return 16 * (self.BZ + 2) * self.CP
 
     @property
-    def WIN_Q(self) -> int:  # sample-window rows in dfeat
-        return 64 * self.CS
+    def WIN_Q(self) -> int:  # sample-window rows in bwd
+        return 16 * (self.BZ + 2) * self.CS
 
 
 # ----------------------------------------------------------------------------
@@ -96,22 +111,22 @@ class _Spec(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _block_perm(R: int, cap: int) -> tuple:
+def _block_perm(R: int, cap: int, BZ: int = 2) -> tuple:
     """Block-major row -> z-major ghost-padded row (static permutation).
 
-    Block-major layout: for each 2x2x2 block (x-major), its 8 cells (x-major
-    within the block), each with ``cap`` slots."""
-    assert R % 2 == 0
-    Rp, nb = R + 2, R // 2
-    rows = np.empty(nb**3 * 8 * cap, np.int32)
+    Block-major layout: for each 2x2xBZ brick (x-major), its 4*BZ cells
+    (x-major within the brick, z contiguous), each with ``cap`` slots."""
+    assert R % 2 == 0 and R % BZ == 0
+    Rp, nb, nbz = R + 2, R // 2, R // BZ
+    rows = np.empty(nb * nb * nbz * 4 * BZ * cap, np.int32)
     i = 0
     for bx in range(nb):
         for by in range(nb):
-            for bz in range(nb):
+            for bz in range(nbz):
                 for dx in range(2):
                     for dy in range(2):
-                        for dz in range(2):
-                            cx, cy, cz = 2 * bx + dx, 2 * by + dy, 2 * bz + dz
+                        for dz in range(BZ):
+                            cx, cy, cz = 2 * bx + dx, 2 * by + dy, BZ * bz + dz
                             pid = ((cx + 1) * Rp + (cy + 1)) * Rp + (cz + 1)
                             rows[i : i + cap] = np.arange(
                                 pid * cap, (pid + 1) * cap, dtype=np.int32
@@ -121,24 +136,24 @@ def _block_perm(R: int, cap: int) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
-def _inv_block_perm(R: int, cap: int) -> tuple:
+def _inv_block_perm(R: int, cap: int, BZ: int = 2) -> tuple:
     """z-major ghost-padded row -> block-major row (ghost rows -> n_blk_rows,
     i.e. one past the end, used as a trash marker)."""
     Rp = R + 2
-    perm = np.asarray(_block_perm(R, cap), np.int32)
+    perm = np.asarray(_block_perm(R, cap, BZ), np.int32)
     inv = np.full(Rp**3 * cap, len(perm), np.int32)
     inv[perm] = np.arange(len(perm), dtype=np.int32)
     return tuple(inv.tolist())
 
 
-def _to_block_major(x: Array, R: int, cap: int) -> Array:
-    perm = jnp.asarray(_block_perm(R, cap), jnp.int32)
+def _to_block_major(x: Array, R: int, cap: int, BZ: int = 2) -> Array:
+    perm = jnp.asarray(_block_perm(R, cap, BZ), jnp.int32)
     return x[:, perm]
 
 
-def _from_block_major_slots(grid: BucketGrid, R: int, cap: int) -> Array:
+def _from_block_major_slots(grid: BucketGrid, R: int, cap: int, BZ: int = 2) -> Array:
     """Per-point slot index into the BLOCK-major layout (B, N)."""
-    inv = jnp.asarray(_inv_block_perm(R, cap), jnp.int32)
+    inv = jnp.asarray(_inv_block_perm(R, cap, BZ), jnp.int32)
     slot = jnp.minimum(grid.slot_of_point, inv.shape[0] - 1)
     return inv[slot]
 
@@ -156,8 +171,8 @@ def transposed_tiles(pos: Array, tile: int) -> Array:
     return t.reshape(B, n_tiles * 8, tile)
 
 
-def _transposed_meta(blk_pos: Array, spec_cap: int, nb: int) -> Array:
-    return transposed_tiles(blk_pos, 8 * spec_cap)
+def _transposed_meta(blk_pos: Array, rows_per_block: int) -> Array:
+    return transposed_tiles(blk_pos, rows_per_block)
 
 
 # ----------------------------------------------------------------------------
@@ -172,21 +187,27 @@ def _split_step(s, n_blocks):
     return jax.lax.div(s, n), jax.lax.rem(s, n)
 
 
-def _block_xyz(blk, nb):
+def _block_xyz(blk, spec):
     div, rem = jax.lax.div, jax.lax.rem
-    nb = jnp.int32(nb)
-    return div(blk, nb * nb), rem(div(blk, nb), nb), rem(blk, nb)
+    nbx, nbz = jnp.int32(spec.nbx), jnp.int32(spec.nbz)
+    return div(blk, nbx * nbz), rem(div(blk, nbz), nbx), rem(blk, nbz)
 
 
 def _issue(step, spec, cap, pairs, sems, slot, wait):
-    """Start (or wait for) the 16 window DMAs per operand for flat ``step``."""
-    Rp, nb = spec.R + 2, spec.nb
-    b, blk = _split_step(step, nb**3)
-    bx, by, bz = _block_xyz(blk, nb)
-    run = 4 * cap
+    """Start (or wait for) the 16 window DMAs per operand for flat ``step``.
+
+    The window of a 2x2xBZ brick is its 4x4x(BZ+2) cell dilation; for each of
+    the 16 (dx, dy) columns the z-extent is ONE contiguous run of
+    ``(BZ+2) * cap`` rows in the z-major ghosted layout."""
+    Rp = spec.R + 2
+    b, blk = _split_step(step, spec.n_blocks)
+    bx, by, bz = _block_xyz(blk, spec)
+    run = (spec.BZ + 2) * cap
     n = len(pairs)
     for i, (dx, dy) in enumerate((dx, dy) for dx in range(4) for dy in range(4)):
-        row0 = (((2 * bx + dx) * Rp) + (2 * by + dy)) * Rp * cap + 2 * bz * cap
+        row0 = (
+            (((2 * bx + dx) * Rp) + (2 * by + dy)) * Rp + spec.BZ * bz
+        ) * cap
         for j, (hbm, scratch) in enumerate(pairs):
             cpy = pltpu.make_async_copy(
                 hbm.at[b, pl.ds(row0, run), :],
@@ -319,22 +340,40 @@ def _fwd_kernel(
 # ----------------------------------------------------------------------------
 
 
-def _dfeat_kernel(
+def _bwd_kernel(
     spec: _Spec,
     n_steps: int,
     src_t_ref,  # (1, 8, PB) VMEM — transposed source positions (+|p|^2)
+    src_feat_ref,  # (1, PB, C) bf16 block-major — THIS block's weighted feats
     smp_meta_hbm,  # (B, S_smp, 128) ANY — lanes 0..2 pos, lane 3 cnt (z-major)
-    dout_hbm,  # (B, S_smp, C') bf16 ANY (z-major ghosted)
+    dout_hbm,  # (B, S_smp, C') f32 ANY (z-major ghosted)
     w1_ref,
     b1_ref,
     w2_ref,
     b2_ref,
     dfeat_ref,  # (1, PB, C) f32 block-major
+    dw1_ref,  # (8, H) accumulated across grid steps; rows 3.. discarded
+    db1_ref,  # (H, 1)
+    dw2_ref,  # (H, C) | (H, C, CO)
+    db2_ref,  # (1, C) | (C, CO)
     wmeta,  # scratch (2, WIN_Q, 128) f32
-    wdout,  # scratch (2, WIN_Q, C') bf16
+    wdout,  # scratch (2, WIN_Q, C') f32
     sems,  # (2, 32)
 ):
+    """FUSED backward, gridded over SOURCE cell blocks: d/dfeatures (each
+    source slot written exactly once — deterministic) AND the parameter
+    gradients (accumulated over the sequentially-executed grid — bitwise
+    reproducible) from a single traversal of the pair plane. Round 1 ran two
+    kernels and generated the d2/pre/relu planes twice."""
     step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
     pairs = ((smp_meta_hbm, wmeta), (dout_hbm, wdout))
     slot = _double_buffered(step, n_steps, spec, spec.CS, pairs, sems)
 
@@ -361,19 +400,22 @@ def _dfeat_kernel(
         * inv_r
     )  # (H, PB)
 
-    # cnt windows can cover ghost cells the fwd kernel never wrote: treat any
-    # garbage (uninitialized / NaN) as empty. dout ghost rows are true zeros
-    # (they come from a scatter), so zeroing inv suffices.
+    # cnt windows can cover ghost cells the fwd kernel never wrote: their cnt
+    # is 0 (scatter into zeros) and their dout rows are true zeros, so the
+    # wc guard below keeps everything finite and contribution-free.
     if spec.mean_norm:
         inv_cnt = jnp.where(wc >= 1.0, 1.0 / jnp.maximum(wc, 1.0), 0.0)
     else:
         inv_cnt = jnp.ones_like(wc)
-    invdout = wdout[slot].astype(jnp.float32) * inv_cnt  # (Q, C')
+    invdout = wdout[slot] * inv_cnt  # (Q, C') f32
+    fz = src_feat_ref[0]  # (PB, C) bf16
+    q8 = q[:, :W1_ROWS]  # (Q, 8)
 
     acc = jnp.zeros((spec.PB, spec.C), jnp.float32)
     for h in range(spec.H):
         # offset = src_p - smp_q  =>  pre_h[q, p] = spT[h, p] - cwq[q, h] + b1
         pre = spT[h : h + 1, :] - cwq[:, h : h + 1] + b1_ref[h, 0]
+        relu_on = (pre > 0.0).astype(jnp.float32) * maskf
         a_h = jnp.maximum(pre, 0.0) * maskf  # (Q, PB)
         if spec.CO is None:
             t_h = invdout * w2_ref[h : h + 1, :]  # (Q, C)
@@ -382,7 +424,38 @@ def _dfeat_kernel(
                 invdout, w2_ref[h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Q, C)
-        acc += _mm(a_h, t_h, ((0,), (0,)))  # (PB, C)
+        acc += _mm(a_h, t_h, ((0,), (0,)))  # dfeat: (PB, C)
+
+        # --- parameter grads (this block's contribution) ---
+        g_h = _mm(a_h, fz, ((1,), (0,)))  # (Q, C): sum over block sources
+        if spec.CO is None:
+            dw2_ref[h : h + 1, :] += jnp.sum(
+                invdout * g_h, axis=0, keepdims=True
+            )
+        else:
+            dw2_ref[h] += jax.lax.dot_general(
+                g_h, invdout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, CO)
+        da_h = _mm(t_h, fz, ((1,), (1,)))  # (Q, PB)
+        dpre = da_h * relu_on
+        rq = jnp.sum(dpre, axis=1, keepdims=True)  # (Q, 1)
+        rp = jnp.sum(dpre, axis=0, keepdims=True)  # (1, PB)
+        # d/dW1 column h: sum over pairs of dpre * offset/r, split into the
+        # source-side and sample-side projections (exact, f32).
+        t_src = jax.lax.dot_general(
+            src_t, rp, (((1,), (1,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        t_smp = jax.lax.dot_general(
+            q8, rq, (((0,), (0,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        # accumulate straight into the output refs (static slices; the
+        # functional value.at[].add lowers to an unsupported scatter-add)
+        dw1_ref[:, h : h + 1] += (t_src - t_smp) * inv_r
+        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
+
     if spec.CO is None:
         t_0 = invdout * b2_ref[:]
     else:
@@ -393,102 +466,7 @@ def _dfeat_kernel(
     acc += _mm(maskf, t_0, ((0,), (0,)))
     dfeat_ref[0] = acc
 
-
-# ----------------------------------------------------------------------------
-# Backward: d/d(params) — gridded over SAMPLE cell blocks, accumulated
-# ----------------------------------------------------------------------------
-
-
-def _dparam_kernel(
-    spec: _Spec,
-    n_steps: int,
-    smp_t_ref,  # (1, 8, SB)
-    dout_ref,  # (1, SB, C') f32 block-major (BlockSpec-pipelined)
-    src_pos_hbm,
-    src_feat_hbm,
-    w1_ref,
-    b1_ref,
-    w2_ref,
-    dw1_ref,  # (8, H) accumulated; rows 3.. stay zero-meaningful
-    db1_ref,  # (H, 1)
-    dw2_ref,  # (H, C) | (H, C, CO)
-    db2_ref,  # (1, C) | (C, CO)
-    cand_pos,
-    cand_feat,
-    sems,
-):
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _init():
-        dw1_ref[:] = jnp.zeros_like(dw1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
-
-    pairs = ((src_pos_hbm, cand_pos), (src_feat_hbm, cand_feat))
-    slot = _double_buffered(step, n_steps, spec, spec.CP, pairs, sems)
-
-    smp_t = smp_t_ref[0]
-    cand = cand_pos[slot]
-    d2 = _pair_d2(cand, smp_t)
-    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
-    cnt = jnp.sum(maskf, axis=0)
-    if spec.mean_norm:
-        inv = 1.0 / jnp.maximum(cnt, 1.0)
-    else:
-        inv = jnp.ones_like(cnt)
-    invdout = dout_ref[0] * inv[:, None]  # (S, C')
-
-    inv_r = 1.0 / spec.radius
-    cand8 = cand[:, :W1_ROWS]
-    cw = jnp.dot(cand8, w1_ref[:], preferred_element_type=jnp.float32) * inv_r
-    swT = (
-        jax.lax.dot_general(
-            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * inv_r
-    )
-    fz = cand_feat[slot]  # bf16
-
-    for h in range(spec.H):
-        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
-        relu_on = (pre > 0.0).astype(jnp.float32) * maskf  # (P, S)
-        a_h = jnp.maximum(pre, 0.0) * maskf
-        g_h = _mm(a_h, fz, ((0,), (0,)))  # (S, C)
-        if spec.CO is None:
-            dw2_ref[h : h + 1, :] += jnp.sum(invdout * g_h, axis=0, keepdims=True)
-            u_h = invdout * w2_ref[h : h + 1, :]  # (S, C)
-        else:
-            dw2_ref[h] += jax.lax.dot_general(
-                g_h, invdout, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (C, CO)
-            u_h = jax.lax.dot_general(
-                invdout, w2_ref[h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (S, C)
-        da_h = _mm(fz, u_h, ((1,), (1,)))  # (P, S)
-        dpre = da_h * relu_on
-        rp = jnp.sum(dpre, axis=1, keepdims=True)  # (P, 1)
-        rs = jnp.sum(dpre, axis=0, keepdims=True)  # (1, S)
-        # d/dW1 column h: sum over pairs of dpre * offset/r, split into the
-        # candidate-side and sample-side projections (exact, f32).
-        t1 = jax.lax.dot_general(
-            cand8, rp, (((0,), (0,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # (8, 1)
-        t2 = jax.lax.dot_general(
-            smp_t, rs, (((1,), (1,)), ((), ())), precision=_HI,
-            preferred_element_type=jnp.float32,
-        )  # (8, 1)
-        # accumulate straight into the output refs (static slices; the
-        # functional value.at[].add lowers to an unsupported scatter-add)
-        dw1_ref[:, h : h + 1] += (t1 - t2) * inv_r
-        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
-
-    g_0 = _mm(maskf, fz, ((0,), (0,)))  # (S, C)
+    g_0 = _mm(maskf, fz, ((1,), (0,)))  # (Q, C)
     if spec.CO is None:
         db2_ref[:] += jnp.sum(invdout * g_0, axis=0, keepdims=True)
     else:
@@ -503,20 +481,19 @@ def _dparam_kernel(
 # ----------------------------------------------------------------------------
 
 
-def _blk_ix(nb):
+def _blk_ix(spec):
     def ix(s):
-        b, blk = _split_step(s, nb**3)
+        b, blk = _split_step(s, spec.n_blocks)
         return (b, blk, 0)
 
     return ix
 
 
 def _fwd_call(spec: _Spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
-    nb = spec.nb
-    ix = _blk_ix(nb)
+    ix = _blk_ix(spec)
     CO = spec.C if spec.CO is None else spec.CO
-    n_steps = B * nb**3
-    n_blk_rows = nb**3 * spec.SB
+    n_steps = B * spec.n_blocks
+    n_blk_rows = spec.n_blocks * spec.SB
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     out, cnt = pl.pallas_call(
         functools.partial(_fwd_kernel, spec, n_steps),
@@ -545,79 +522,51 @@ def _fwd_call(spec: _Spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
     return out, cnt
 
 
-def _dfeat_call(spec: _Spec, B, src_t, smp_meta, dout, w1, b1, w2, b2):
-    nb = spec.nb
-    ix = _blk_ix(nb)
+def _bwd_call(spec: _Spec, B, src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2):
+    ix = _blk_ix(spec)
     CO = spec.C if spec.CO is None else spec.CO
-    n_steps = B * nb**3
-    n_blk_rows = nb**3 * spec.PB
-    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    (dfeat,) = pl.pallas_call(
-        functools.partial(_dfeat_kernel, spec, n_steps),
-        grid=(n_steps,),
-        in_specs=[
-            vm((1, 8, spec.PB), ix),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            vm(),
-            vm(),
-            vm(),
-            vm(),
-        ],
-        out_specs=[vm((1, spec.PB, spec.C), ix)],
-        out_shape=[jax.ShapeDtypeStruct((B, n_blk_rows, spec.C), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((2, spec.WIN_Q, LANE), jnp.float32),
-            pltpu.VMEM((2, spec.WIN_Q, CO), FEAT_DTYPE),
-            pltpu.SemaphoreType.DMA((2, 32)),
-        ],
-        interpret=spec.interpret,
-    )(src_t, smp_meta, dout, w1, b1, w2, b2)
-    return dfeat
-
-
-def _dparam_call(spec: _Spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2):
-    nb = spec.nb
-    ix = _blk_ix(nb)
-    CO = spec.C if spec.CO is None else spec.CO
-    n_steps = B * nb**3
+    n_steps = B * spec.n_blocks
+    n_blk_rows = spec.n_blocks * spec.PB
     const2 = lambda s: (0, 0)
     const3 = lambda s: (0, 0, 0)
     w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
     b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_dparam_kernel, spec, n_steps),
+    dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec, n_steps),
         grid=(n_steps,),
         in_specs=[
-            vm((1, 8, spec.SB), ix),
-            vm((1, spec.SB, CO), ix),
+            vm((1, 8, spec.PB), ix),
+            vm((1, spec.PB, spec.C), ix),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            vm(),
             vm(),
             vm(),
             vm(),
         ],
         out_specs=[
+            vm((1, spec.PB, spec.C), ix),
             vm((W1_ROWS, spec.H), const2),
             vm((spec.H, 1), const2),
             vm(w2_shape, const2 if spec.CO is None else const3),
             vm(b2_shape, const2),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((B, n_blk_rows, spec.C), jnp.float32),
             jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
             jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
             jax.ShapeDtypeStruct(w2_shape, jnp.float32),
             jax.ShapeDtypeStruct(b2_shape, jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, spec.WIN_P, LANE), jnp.float32),
-            pltpu.VMEM((2, spec.WIN_P, spec.C), FEAT_DTYPE),
+            pltpu.VMEM((2, spec.WIN_Q, LANE), jnp.float32),
+            pltpu.VMEM((2, spec.WIN_Q, CO), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 32)),
         ],
         interpret=spec.interpret,
-    )(smp_t, dout, src_pos, src_feat, w1, b1, w2)
-    return dw1, db1, dw2, db2
+    )(src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2)
+    return dfeat, dw1, db1, dw2, db2
 
 
 # ----------------------------------------------------------------------------
@@ -645,34 +594,28 @@ def _core_fwd(spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat):
 def _core_bwd(spec, res, dout):
     w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt = res
     B = smp_t.shape[0]
-    nb = spec.nb
     # Fold the per-sample neighbor count into lane CNT_LANE of the Z-MAJOR
-    # sample position array (smp_meta0) so the dfeat pass fetches positions
+    # sample position array (smp_meta0) so the bwd pass fetches positions
     # and counts with one DMA per window. cnt is block-major — scatter it
     # back to z-major via the static inverse permutation.
-    perm = jnp.asarray(_block_perm(spec.R, spec.CS), jnp.int32)
+    perm = jnp.asarray(_block_perm(spec.R, spec.CS, spec.BZ), jnp.int32)
     cnt_z = jnp.zeros((B, smp_meta0.shape[1], 1), cnt.dtype)
     cnt_z = jax.vmap(lambda z, c: z.at[perm].set(c))(cnt_z, cnt)
     is_cnt = jax.lax.broadcasted_iota(jnp.int32, smp_meta0.shape, 2) == CNT_LANE
     smp_meta = jnp.where(is_cnt, cnt_z, smp_meta0)
-    # dout arrives block-major; dfeat's windows need it z-major ghosted.
-    dout_z = jnp.zeros(
-        (B, smp_meta0.shape[1], dout.shape[-1]), FEAT_DTYPE
-    )
-    dout_z = jax.vmap(lambda z, d: z.at[perm].set(d))(
-        dout_z, dout.astype(FEAT_DTYPE)
-    )
-    dfeat_blk = _dfeat_call(
-        spec, B, src_t, smp_meta, dout_z, w1, b1, w2, b2
+    # dout arrives block-major; the bwd windows need it z-major ghosted.
+    # Shipped in f32 so the parameter grads keep full dout precision.
+    dout_z = jnp.zeros((B, smp_meta0.shape[1], dout.shape[-1]), jnp.float32)
+    dout_z = jax.vmap(lambda z, d: z.at[perm].set(d))(dout_z, dout)
+    # The fused kernel needs this block's source features: block-major view.
+    src_feat_blk = _to_block_major(src_feat, spec.R, spec.CP, spec.BZ)
+    dfeat_blk, dw1, db1, dw2, db2 = _bwd_call(
+        spec, B, src_t, src_feat_blk, smp_meta, dout_z, w1, b1, w2, b2
     )
     # dfeat is block-major over source slots; scatter back to z-major.
-    perm_p = jnp.asarray(_block_perm(spec.R, spec.CP), jnp.int32)
+    perm_p = jnp.asarray(_block_perm(spec.R, spec.CP, spec.BZ), jnp.int32)
     dfeat = jnp.zeros((B, src_feat.shape[1], spec.C), jnp.float32)
     dfeat = jax.vmap(lambda z, d: z.at[perm_p].set(d))(dfeat, dfeat_blk)
-
-    dw1, db1, dw2, db2 = _dparam_call(
-        spec, B, smp_t, dout, src_pos, src_feat, w1, b1, w2
-    )
     return (
         dw1,
         db1,
@@ -691,6 +634,16 @@ _bucket_conv_core.defvjp(_core_fwd, _core_bwd)
 
 def _pad_lanes(x: Array, lanes: int = LANE) -> Array:
     return jnp.pad(x, ((0, 0), (0, 0), (0, lanes - x.shape[-1])))
+
+
+def pick_bz(R: int, cap: int) -> int:
+    """z-brick depth: smallest divisor of R with >= 128 samples per block
+    (full MXU lane width). Big scenes have small cell caps — a fixed 2x2x2
+    block would starve the lane dimension there."""
+    for bz in range(2, R + 1):
+        if R % bz == 0 and 4 * bz * cap >= LANE:
+            return bz
+    return R
 
 
 def bucket_mc_conv(
@@ -760,6 +713,7 @@ def bucket_mc_conv(
         radius=source_grid.radius,
         mean_norm=mean_normalize,
         interpret=interpret,
+        BZ=pick_bz(R, min(sample_grid.cap, source_grid.cap)),
     )
 
     src_feat_z = bucketize(source_grid, wf)[:, :-1].astype(FEAT_DTYPE)
@@ -767,17 +721,17 @@ def bucket_mc_conv(
     smp_pos_z = _pad_lanes(sample_grid.positions[:, :-1])
 
     # Block-major views (static permutation) for the grid sides.
-    smp_blk = _to_block_major(smp_pos_z, R, spec.CS)
-    src_blk = _to_block_major(src_pos_z, R, spec.CP)
-    smp_t = _transposed_meta(smp_blk, spec.CS, spec.nb)
-    src_t = _transposed_meta(src_blk, spec.CP, spec.nb)
+    smp_blk = _to_block_major(smp_pos_z, R, spec.CS, spec.BZ)
+    src_blk = _to_block_major(src_pos_z, R, spec.CP, spec.BZ)
+    smp_t = _transposed_meta(smp_blk, spec.SB)
+    src_t = _transposed_meta(src_blk, spec.PB)
 
     out_b = _bucket_conv_core(
         spec, w1, b1, w2, b2, smp_t, smp_pos_z, src_pos_z, src_t, src_feat_z
     )
     out_b = out_b[..., : (C if c_out is None else c_out)]
     # back to point order (block-major slots); trash/dropped reads are masked
-    blk_slot = _from_block_major_slots(sample_grid, R, spec.CS)
+    blk_slot = _from_block_major_slots(sample_grid, R, spec.CS, spec.BZ)
     slot = jnp.minimum(blk_slot, out_b.shape[1] - 1)
     out = jax.vmap(lambda v, i: v[i])(out_b, slot)
     valid = sample_mask & (blk_slot < out_b.shape[1])

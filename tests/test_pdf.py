@@ -50,3 +50,51 @@ def test_uniform_density_near_constant_interior(rng):
     interior &= pts[0].max(-1) < 0.8
     di = d[interior]
     assert di.std() / di.mean() < 0.05
+
+
+def test_k_capacity_kde_bias_at_scale(rng):
+    """VERDICT r1 #6: quantify the K-capacity KDE approximation against the
+    exact dense path on a dense (ScanNet-like) cloud, where neighbor counts
+    far exceed the K capacity. The shell-tail correction must keep the
+    median relative error small; the round-1 count/kept rescale inflated
+    densities by ~count/kept (>2x) in dense regions."""
+    import jax.numpy as jnp
+    from mccnn_tpu.core.neighbors import self_neighbors
+    from mccnn_tpu.core.pdf import kde_density
+
+    N, radius, k = 4096, 0.1, 32
+    # clustered cloud: half the points concentrated in a small ball
+    base = rng.uniform(0, 1, size=(N // 2, 3))
+    clump = 0.5 + 0.06 * rng.normal(size=(N // 2, 3))
+    pts = jnp.asarray(np.concatenate([base, clump]).astype(np.float32))[None]
+    mask = jnp.ones((1, N), bool)
+
+    exact = np.asarray(kde_density(pts, mask, radius))[0]  # dense path
+    nbh = self_neighbors(pts, mask, radius, k)
+    approx = np.asarray(
+        kde_density(pts, mask, radius, neighborhood=nbh, k=k)
+    )[0]
+    counts = np.asarray(nbh.count)[0]
+
+    dense_region = counts > 2 * k  # truncation actually active
+    assert dense_region.sum() > 500
+    rel = np.abs(approx - exact) / exact
+    # uniform-in-shell tail assumption leaves ~9% median bias in clumps —
+    # documented approximation quality (was ~count/kept ~ 2-5x before)
+    assert np.median(rel[dense_region]) < 0.12, np.median(rel[dense_region])
+    assert np.quantile(rel[dense_region], 0.9) < 0.3
+
+    # the round-1 count/kept rescale, reconstructed: kept kernel sum x
+    # count/kept. Its error in the truncation regime dwarfs the new one.
+    import math
+    h = 0.25 * radius
+    nb_pts = np.asarray(pts)[0][np.asarray(nbh.idx)[0]]
+    d2 = ((np.asarray(pts)[0][:, None, :] - nb_pts) ** 2).sum(-1)
+    kern = np.where(np.asarray(nbh.mask)[0], np.exp(-0.5 * d2 / (h * h)), 0.0)
+    kept = np.maximum(np.asarray(nbh.mask)[0].sum(-1), 1)
+    norm = 1.0 / (h**3 * (2 * math.pi) ** 1.5)
+    old = norm * kern.sum(-1) * np.maximum(counts / kept, 1.0)
+    rel_old = np.abs(old - exact) / exact
+    assert (
+        np.median(rel_old[dense_region]) > 4 * np.median(rel[dense_region])
+    ), (np.median(rel_old[dense_region]), np.median(rel[dense_region]))
