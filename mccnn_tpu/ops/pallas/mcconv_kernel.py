@@ -55,6 +55,10 @@ CNT_LANE = 3  # lane of the backward meta array carrying the neighbor count
 FEAT_DTYPE = jnp.bfloat16
 W1_ROWS = 8  # xyz in rows 0..2, zeros elsewhere (row 3 guards the |p|^2 slot)
 
+# Big-scene configs (cap=64) put the pair planes just past Mosaic's default
+# 16 MiB scoped-VMEM budget; v5e has 128 MiB physical VMEM, so raise it.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 class _Spec(NamedTuple):
     """Static kernel configuration (all dims pre-padded to TPU tiles)."""
@@ -69,6 +73,7 @@ class _Spec(NamedTuple):
     mean_norm: bool  # True: divide by neighbor count (usePDF=False mode)
     interpret: bool
     BZ: int = 2  # z-cells per block ("z-brick"); must divide R
+    NBA: int | None = None  # active-brick steps per cloud (None: dense sweep)
 
     # A block is a 2x2xBZ cell BRICK. Big scenes have small cell capacities
     # (occupancy ~4-8), so the round-1 fixed 2x2x2 block starved the MXU lane
@@ -193,14 +198,25 @@ def _block_xyz(blk, spec):
     return div(blk, nbx * nbz), rem(div(blk, nbz), nbx), rem(blk, nbz)
 
 
-def _issue(step, spec, cap, pairs, sems, slot, wait):
+def _locate(step, spec, ids_ref):
+    """(cloud, brick) for flat grid ``step``. Dense iteration decomposes the
+    step; active-brick iteration reads the brick id from the prefetched
+    per-cloud active list (``ids_ref`` shape (B, NBA))."""
+    if ids_ref is None:
+        return _split_step(step, spec.n_blocks)
+    nba = jnp.int32(spec.NBA)
+    b = jax.lax.div(step, nba)
+    return b, ids_ref[b, jax.lax.rem(step, nba)]
+
+
+def _issue(step, spec, cap, pairs, sems, slot, wait, ids_ref=None):
     """Start (or wait for) the 16 window DMAs per operand for flat ``step``.
 
     The window of a 2x2xBZ brick is its 4x4x(BZ+2) cell dilation; for each of
     the 16 (dx, dy) columns the z-extent is ONE contiguous run of
     ``(BZ+2) * cap`` rows in the z-major ghosted layout."""
     Rp = spec.R + 2
-    b, blk = _split_step(step, spec.n_blocks)
+    b, blk = _locate(step, spec, ids_ref)
     bx, by, bz = _block_xyz(blk, spec)
     run = (spec.BZ + 2) * cap
     n = len(pairs)
@@ -220,19 +236,22 @@ def _issue(step, spec, cap, pairs, sems, slot, wait):
                 cpy.start()
 
 
-def _double_buffered(step, n_steps, spec, cap, pairs, sems):
+def _double_buffered(step, n_steps, spec, cap, pairs, sems, ids_ref=None):
     """Cross-step double buffering; returns the buffer slot for this step."""
     slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
     def _prologue():
-        _issue(step, spec, cap, pairs, sems, slot, wait=False)
+        _issue(step, spec, cap, pairs, sems, slot, wait=False, ids_ref=ids_ref)
 
-    _issue(step, spec, cap, pairs, sems, slot, wait=True)
+    _issue(step, spec, cap, pairs, sems, slot, wait=True, ids_ref=ids_ref)
 
     @pl.when(step + 1 < n_steps)
     def _prefetch():
-        _issue(step + 1, spec, cap, pairs, sems, 1 - slot, wait=False)
+        _issue(
+            step + 1, spec, cap, pairs, sems, 1 - slot, wait=False,
+            ids_ref=ids_ref,
+        )
 
     return slot
 
@@ -274,22 +293,26 @@ def _mm(a, b, dims):
 def _fwd_kernel(
     spec: _Spec,
     n_steps: int,
-    smp_t_ref,  # (1, 8, SB) VMEM — transposed sample positions (+|s|^2)
-    src_pos_hbm,  # (B, S_src, 128) f32 ANY (z-major ghosted)
-    src_feat_hbm,  # (B, S_src, C) bf16 ANY (z-major ghosted)
-    w1_ref,  # (8, H) — rows 0..2 real, rest zeros
-    b1_ref,  # (H, 1)
-    w2_ref,  # depthwise (H, C) | full (H, C, CO)
-    b2_ref,  # depthwise (1, C) | full (C, CO)
-    out_ref,  # (1, SB, C') block-major
-    cnt_ref,  # (1, SB, 1) block-major
-    cand_pos,  # scratch (2, WIN_P, 128) f32
-    cand_feat,  # scratch (2, WIN_P, C) bf16
-    sems,  # (2, 32)
+    *refs,
 ):
+    """Forward kernel. ``refs`` layout (with a leading prefetched active-brick
+    id array iff ``spec.NBA``):
+
+      [ids_ref,] smp_t_ref (1, 8, SB), src_pos_hbm (B, S_src, 128) ANY,
+      src_feat_hbm (B, S_src, C) bf16 ANY, w1 (8, H), b1 (H, 1), w2, b2,
+      out_ref (1, SB, C'), cnt_ref (1, SB, 1),
+      cand_pos (2, WIN_P, 128), cand_feat (2, WIN_P, C), sems (2, 32)
+    """
+    ids_ref = refs[0] if spec.NBA else None
+    (
+        smp_t_ref, src_pos_hbm, src_feat_hbm, w1_ref, b1_ref, w2_ref, b2_ref,
+        out_ref, cnt_ref, cand_pos, cand_feat, sems,
+    ) = refs[1 if spec.NBA else 0 :]
     step = pl.program_id(0)
     pairs = ((src_pos_hbm, cand_pos), (src_feat_hbm, cand_feat))
-    slot = _double_buffered(step, n_steps, spec, spec.CP, pairs, sems)
+    slot = _double_buffered(
+        step, n_steps, spec, spec.CP, pairs, sems, ids_ref=ids_ref
+    )
 
     smp_t = smp_t_ref[0]  # (8, SB)
     cand = cand_pos[slot]  # (P, 128)
@@ -343,28 +366,37 @@ def _fwd_kernel(
 def _bwd_kernel(
     spec: _Spec,
     n_steps: int,
-    src_t_ref,  # (1, 8, PB) VMEM — transposed source positions (+|p|^2)
-    src_feat_ref,  # (1, PB, C) bf16 block-major — THIS block's weighted feats
-    smp_meta_hbm,  # (B, S_smp, 128) ANY — lanes 0..2 pos, lane 3 cnt (z-major)
-    dout_hbm,  # (B, S_smp, C') f32 ANY (z-major ghosted)
-    w1_ref,
-    b1_ref,
-    w2_ref,
-    b2_ref,
-    dfeat_ref,  # (1, PB, C) f32 block-major
-    dw1_ref,  # (8, H) accumulated across grid steps; rows 3.. discarded
-    db1_ref,  # (H, 1)
-    dw2_ref,  # (H, C) | (H, C, CO)
-    db2_ref,  # (1, C) | (C, CO)
-    wmeta,  # scratch (2, WIN_Q, 128) f32
-    wdout,  # scratch (2, WIN_Q, C') f32
-    sems,  # (2, 32)
+    *refs,
 ):
     """FUSED backward, gridded over SOURCE cell blocks: d/dfeatures (each
     source slot written exactly once — deterministic) AND the parameter
     gradients (accumulated over the sequentially-executed grid — bitwise
     reproducible) from a single traversal of the pair plane. Round 1 ran two
-    kernels and generated the d2/pre/relu planes twice."""
+    kernels and generated the d2/pre/relu planes twice.
+
+    ``refs`` layout (leading prefetched active-brick ids iff ``spec.NBA``):
+
+      [ids_ref,] src_t_ref (1, 8, PB), src_feat_ref (1, PB, C) bf16,
+      smp_meta_hbm (B, S_smp, 128) ANY (lanes 0..2 pos, lane 3 cnt),
+      dout_hbm (B, S_smp, C') f32 ANY, w1, b1, w2, b2,
+      dfeat_ref (1, PB, C), dw1 (8, H), db1 (H, 1), dw2, db2,
+      wmeta (2, WIN_Q, 128) f32, wdout (2, WIN_Q, C') f32, sems (2, 32)
+    """
+    if spec.NBA:
+        # extra trailing input: the zeros array donated into dfeat (aliased)
+        ids_ref = refs[0]
+        (
+            src_t_ref, src_feat_ref, smp_meta_hbm, dout_hbm, w1_ref, b1_ref,
+            w2_ref, b2_ref, _dfeat_init, dfeat_ref, dw1_ref, db1_ref,
+            dw2_ref, db2_ref, wmeta, wdout, sems,
+        ) = refs[1:]
+    else:
+        ids_ref = None
+        (
+            src_t_ref, src_feat_ref, smp_meta_hbm, dout_hbm, w1_ref, b1_ref,
+            w2_ref, b2_ref, dfeat_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+            wmeta, wdout, sems,
+        ) = refs
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -375,7 +407,9 @@ def _bwd_kernel(
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     pairs = ((smp_meta_hbm, wmeta), (dout_hbm, wdout))
-    slot = _double_buffered(step, n_steps, spec, spec.CS, pairs, sems)
+    slot = _double_buffered(
+        step, n_steps, spec, spec.CS, pairs, sems, ids_ref=ids_ref
+    )
 
     src_t = src_t_ref[0]  # (8, PB)
     meta = wmeta[slot]  # (Q, 128)
@@ -482,90 +516,159 @@ def _bwd_kernel(
 
 
 def _blk_ix(spec):
-    def ix(s):
-        b, blk = _split_step(s, spec.n_blocks)
-        return (b, blk, 0)
+    if spec.NBA:
+        nba = spec.NBA
+
+        def ix(s, ids):
+            b = jax.lax.div(s, jnp.int32(nba))
+            return (b, ids[b, jax.lax.rem(s, jnp.int32(nba))], 0)
+
+    else:
+
+        def ix(s):
+            b, blk = _split_step(s, spec.n_blocks)
+            return (b, blk, 0)
 
     return ix
 
 
-def _fwd_call(spec: _Spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
+def _const_ix(spec, ndim):
+    """Constant index map with the right arity for the prefetch mode."""
+    zeros = (0,) * ndim
+    if spec.NBA:
+        return lambda s, ids: zeros
+    return lambda s: zeros
+
+
+def _fwd_call(spec: _Spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, ids=None):
     ix = _blk_ix(spec)
     CO = spec.C if spec.CO is None else spec.CO
-    n_steps = B * spec.n_blocks
+    n_steps = B * (spec.NBA or spec.n_blocks)
     n_blk_rows = spec.n_blocks * spec.SB
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    out, cnt = pl.pallas_call(
-        functools.partial(_fwd_kernel, spec, n_steps),
-        grid=(n_steps,),
-        in_specs=[
-            vm((1, 8, spec.SB), ix),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            vm(),
-            vm(),
-            vm(),
-            vm(),
-        ],
-        out_specs=[vm((1, spec.SB, CO), ix), vm((1, spec.SB, 1), ix)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_blk_rows, CO), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_blk_rows, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, spec.WIN_P, LANE), jnp.float32),
-            pltpu.VMEM((2, spec.WIN_P, spec.C), FEAT_DTYPE),
-            pltpu.SemaphoreType.DMA((2, 32)),
-        ],
-        interpret=spec.interpret,
-    )(smp_t, src_pos, src_feat, w1, b1, w2, b2)
+    in_specs = [
+        vm((1, 8, spec.SB), ix),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        vm(),
+        vm(),
+        vm(),
+        vm(),
+    ]
+    out_specs = [vm((1, spec.SB, CO), ix), vm((1, spec.SB, 1), ix)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, n_blk_rows, CO), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_blk_rows, 1), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, spec.WIN_P, LANE), jnp.float32),
+        pltpu.VMEM((2, spec.WIN_P, spec.C), FEAT_DTYPE),
+        pltpu.SemaphoreType.DMA((2, 32)),
+    ]
+    kern = functools.partial(_fwd_kernel, spec, n_steps)
+    if spec.NBA:
+        out, cnt = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_steps,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=spec.interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(ids, smp_t, src_pos, src_feat, w1, b1, w2, b2)
+    else:
+        out, cnt = pl.pallas_call(
+            kern,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=spec.interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(smp_t, src_pos, src_feat, w1, b1, w2, b2)
     return out, cnt
 
 
-def _bwd_call(spec: _Spec, B, src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2):
+def _bwd_call(
+    spec: _Spec, B, src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2,
+    ids=None, dfeat_init=None,
+):
     ix = _blk_ix(spec)
     CO = spec.C if spec.CO is None else spec.CO
-    n_steps = B * spec.n_blocks
+    n_steps = B * (spec.NBA or spec.n_blocks)
     n_blk_rows = spec.n_blocks * spec.PB
-    const2 = lambda s: (0, 0)
-    const3 = lambda s: (0, 0, 0)
+    const2 = _const_ix(spec, 2)
+    const3 = _const_ix(spec, 3)
     w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
     b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, spec, n_steps),
-        grid=(n_steps,),
-        in_specs=[
-            vm((1, 8, spec.PB), ix),
-            vm((1, spec.PB, spec.C), ix),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            vm(),
-            vm(),
-            vm(),
-            vm(),
-        ],
-        out_specs=[
-            vm((1, spec.PB, spec.C), ix),
-            vm((W1_ROWS, spec.H), const2),
-            vm((spec.H, 1), const2),
-            vm(w2_shape, const2 if spec.CO is None else const3),
-            vm(b2_shape, const2),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_blk_rows, spec.C), jnp.float32),
-            jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
-            jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
-            jax.ShapeDtypeStruct(w2_shape, jnp.float32),
-            jax.ShapeDtypeStruct(b2_shape, jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, spec.WIN_Q, LANE), jnp.float32),
-            pltpu.VMEM((2, spec.WIN_Q, CO), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 32)),
-        ],
-        interpret=spec.interpret,
-    )(src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2)
+    in_specs = [
+        vm((1, 8, spec.PB), ix),
+        vm((1, spec.PB, spec.C), ix),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        vm(),
+        vm(),
+        vm(),
+        vm(),
+    ]
+    out_specs = [
+        vm((1, spec.PB, spec.C), ix),
+        vm((W1_ROWS, spec.H), const2),
+        vm((spec.H, 1), const2),
+        vm(w2_shape, const2 if spec.CO is None else const3),
+        vm(b2_shape, const2),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, n_blk_rows, spec.C), jnp.float32),
+        jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
+        jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
+        jax.ShapeDtypeStruct(w2_shape, jnp.float32),
+        jax.ShapeDtypeStruct(b2_shape, jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, spec.WIN_Q, LANE), jnp.float32),
+        pltpu.VMEM((2, spec.WIN_Q, CO), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 32)),
+    ]
+    kern = functools.partial(_bwd_kernel, spec, n_steps)
+    if spec.NBA:
+        # dfeat rows of bricks never visited must hold zeros, not garbage:
+        # the zeros input is donated/aliased into the dfeat output, and only
+        # visited bricks overwrite their rows.
+        dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_steps,),
+                in_specs=in_specs + [vm((1, spec.PB, spec.C), ix)],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            input_output_aliases={9: 0},  # zeros input -> dfeat output
+            interpret=spec.interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(
+            ids, src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2,
+            dfeat_init,
+        )
+    else:
+        dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
+            kern,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=spec.interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b2)
     return dfeat, dw1, db1, dw2, db2
 
 
@@ -574,25 +677,45 @@ def _bwd_call(spec: _Spec, B, src_t, src_feat_blk, smp_meta, dout, w1, b1, w2, b
 # ----------------------------------------------------------------------------
 
 
+def _ids_int(spec, ids_f):
+    """Active-brick ids travel the custom_vjp as float32 (integer cotangents
+    are not a thing); exact for any realistic brick count (< 2^24)."""
+    if spec.NBA is None:
+        return None
+    return ids_f.astype(jnp.int32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bucket_conv_core(
-    spec: _Spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat
+    spec: _Spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat,
+    ids_smp_f, ids_src_f,
 ):
     out, _ = _fwd_call(
-        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
+        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2,
+        ids=_ids_int(spec, ids_smp_f),
     )
     return out
 
 
-def _core_fwd(spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat):
+def _core_fwd(
+    spec, w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat,
+    ids_smp_f, ids_src_f,
+):
     out, cnt = _fwd_call(
-        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
+        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2,
+        ids=_ids_int(spec, ids_smp_f),
     )
-    return out, (w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt)
+    return out, (
+        w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt,
+        ids_smp_f, ids_src_f,
+    )
 
 
 def _core_bwd(spec, res, dout):
-    w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt = res
+    (
+        w1, b1, w2, b2, smp_t, smp_meta0, src_pos, src_t, src_feat, cnt,
+        ids_smp_f, ids_src_f,
+    ) = res
     B = smp_t.shape[0]
     # Fold the per-sample neighbor count into lane CNT_LANE of the Z-MAJOR
     # sample position array (smp_meta0) so the bwd pass fetches positions
@@ -609,8 +732,14 @@ def _core_bwd(spec, res, dout):
     dout_z = jax.vmap(lambda z, d: z.at[perm].set(d))(dout_z, dout)
     # The fused kernel needs this block's source features: block-major view.
     src_feat_blk = _to_block_major(src_feat, spec.R, spec.CP, spec.BZ)
+    dfeat_init = None
+    if spec.NBA is not None:
+        dfeat_init = jnp.zeros(
+            (B, spec.n_blocks * spec.PB, spec.C), jnp.float32
+        )
     dfeat_blk, dw1, db1, dw2, db2 = _bwd_call(
-        spec, B, src_t, src_feat_blk, smp_meta, dout_z, w1, b1, w2, b2
+        spec, B, src_t, src_feat_blk, smp_meta, dout_z, w1, b1, w2, b2,
+        ids=_ids_int(spec, ids_src_f), dfeat_init=dfeat_init,
     )
     # dfeat is block-major over source slots; scatter back to z-major.
     perm_p = jnp.asarray(_block_perm(spec.R, spec.CP, spec.BZ), jnp.int32)
@@ -626,6 +755,8 @@ def _core_bwd(spec, res, dout):
         jnp.zeros_like(src_pos),
         jnp.zeros_like(src_t),
         dfeat.astype(src_feat.dtype),
+        jnp.zeros_like(ids_smp_f),
+        jnp.zeros_like(ids_src_f),
     )
 
 
@@ -639,11 +770,45 @@ def _pad_lanes(x: Array, lanes: int = LANE) -> Array:
 def pick_bz(R: int, cap: int) -> int:
     """z-brick depth: smallest divisor of R with >= 128 samples per block
     (full MXU lane width). Big scenes have small cell caps — a fixed 2x2x2
-    block would starve the lane dimension there."""
-    for bz in range(2, R + 1):
+    block would starve the lane dimension there. Conversely BZ=1 is preferred
+    once cap alone fills the lane: the window is 3 z-cells instead of 4
+    (less overcompute) and the pair plane is ~2x smaller (VMEM: the plane
+    scales with cap^2, which OOMs the 16 MB scoped limit at cap=64, BZ=2)."""
+    for bz in range(1, R + 1):
         if R % bz == 0 and 4 * bz * cap >= LANE:
             return bz
     return R
+
+
+def count_active_bricks(grid: BucketGrid) -> Array:
+    """Per-cloud count of occupied 2x2xBZ bricks — the exact lossless value
+    for ``bucket_mc_conv(..., max_active_bricks=)`` on this grid. Call on a
+    concrete grid outside jit (the count must be static for the kernel)."""
+    R, cap = grid.res, grid.cap
+    BZ = pick_bz(R, cap)
+    perm = jnp.asarray(_block_perm(R, cap, BZ), jnp.int32)
+    bm = grid.slot_mask[:, :-1][:, perm]
+    occ = bm.reshape(bm.shape[0], -1, 4 * BZ * cap).any(-1)
+    return occ.sum(-1)
+
+
+def _brick_activity(grid: BucketGrid, spec_cap: int, R: int, BZ: int, NBA: int):
+    """(ids, rank_of_brick) per cloud: active bricks first (ascending id),
+    inactive bricks pad the tail (their sentinel positions contribute
+    nothing). Bricks ranked >= NBA are DROPPED from iteration — callers must
+    size NBA to the data (lossless default: NBA=None = dense sweep)."""
+    perm = jnp.asarray(_block_perm(R, spec_cap, BZ), jnp.int32)
+    bm = grid.slot_mask[:, :-1][:, perm]
+    rows = 4 * BZ * spec_cap
+    occ = bm.reshape(bm.shape[0], -1, rows).any(-1)  # (B, n_blocks)
+    order = jnp.argsort(~occ, axis=-1, stable=True).astype(jnp.int32)
+    n_blocks = occ.shape[1]
+    ranks = jax.vmap(
+        lambda o: jnp.zeros((n_blocks,), jnp.int32).at[o].set(
+            jnp.arange(n_blocks, dtype=jnp.int32)
+        )
+    )(order)
+    return order[:, :NBA], ranks
 
 
 def bucket_mc_conv(
@@ -657,6 +822,7 @@ def bucket_mc_conv(
     c_out: int | None = None,
     mean_normalize: bool = False,
     interpret: bool = False,
+    max_active_bricks: int | None = None,
 ) -> Array:
     """Monte-Carlo conv via the fused bucket kernel.
 
@@ -703,6 +869,13 @@ def bucket_mc_conv(
             params.b2.reshape(C, c_out), ((0, Cp - C), (0, COp - c_out))
         )
 
+    BZ = pick_bz(R, min(sample_grid.cap, source_grid.cap))
+    NBA = max_active_bricks
+    if NBA is not None:
+        n_blocks = (R // 2) ** 2 * (R // BZ)
+        NBA = min(NBA, n_blocks)
+        if NBA >= n_blocks:
+            NBA = None  # dense sweep is strictly better
     spec = _Spec(
         R=R,
         CP=source_grid.cap,
@@ -713,7 +886,8 @@ def bucket_mc_conv(
         radius=source_grid.radius,
         mean_norm=mean_normalize,
         interpret=interpret,
-        BZ=pick_bz(R, min(sample_grid.cap, source_grid.cap)),
+        BZ=BZ,
+        NBA=NBA,
     )
 
     src_feat_z = bucketize(source_grid, wf)[:, :-1].astype(FEAT_DTYPE)
@@ -726,8 +900,21 @@ def bucket_mc_conv(
     smp_t = _transposed_meta(smp_blk, spec.SB)
     src_t = _transposed_meta(src_blk, spec.PB)
 
+    B = features.shape[0]
+    if spec.NBA is not None:
+        ids_smp, ranks_smp = _brick_activity(
+            sample_grid, spec.CS, R, spec.BZ, spec.NBA
+        )
+        ids_src, _ = _brick_activity(source_grid, spec.CP, R, spec.BZ, spec.NBA)
+        ids_smp_f = ids_smp.astype(jnp.float32)
+        ids_src_f = ids_src.astype(jnp.float32)
+    else:
+        ids_smp_f = ids_src_f = jnp.zeros((B, 1), jnp.float32)
+        ranks_smp = None
+
     out_b = _bucket_conv_core(
-        spec, w1, b1, w2, b2, smp_t, smp_pos_z, src_pos_z, src_t, src_feat_z
+        spec, w1, b1, w2, b2, smp_t, smp_pos_z, src_pos_z, src_t, src_feat_z,
+        ids_smp_f, ids_src_f,
     )
     out_b = out_b[..., : (C if c_out is None else c_out)]
     # back to point order (block-major slots); trash/dropped reads are masked
@@ -735,4 +922,9 @@ def bucket_mc_conv(
     slot = jnp.minimum(blk_slot, out_b.shape[1] - 1)
     out = jax.vmap(lambda v, i: v[i])(out_b, slot)
     valid = sample_mask & (blk_slot < out_b.shape[1])
+    if ranks_smp is not None:
+        # samples in bricks beyond the active capacity were never computed
+        brick = jnp.minimum(blk_slot // spec.SB, ranks_smp.shape[1] - 1)
+        kept = jax.vmap(lambda r, b: r[b])(ranks_smp, brick) < spec.NBA
+        valid = valid & kept
     return jnp.where(valid[..., None], out, 0.0)

@@ -1,0 +1,635 @@
+"""Z-order tile Monte-Carlo convolution — the compacted big-scene kernel.
+
+Reference parity (viscom-ulm/MCCNN): same op as ``tf_ops/spatial_conv.*``
+(SURVEY §2.1) at scene scale — but the layout is the TPU answer to the
+reference's CSR neighbor lists, designed around this chip's measured limits:
+
+* The cell-bucket kernel (``mcconv_kernel.py``) pays slot padding: its cell
+  capacity must cover the MAX cell occupancy while the MEAN is far lower
+  (ScanNet-like surface scenes: cap 64 vs mean ~10 → ~6x padding on BOTH
+  sides of the pair plane, ~40x total). Measured on a 32k surface cloud it is
+  slower than brute force.
+* Here points are sorted along a Morton (z-order) curve and partitioned into
+  FIXED-SIZE tiles of ``T`` consecutive points — fully compact (zero slot
+  padding), spatially coherent, and each tile is one contiguous lane-aligned
+  DMA. Candidate pruning happens at tile granularity: tile pair (i, j) is
+  processed iff their point AABBs, dilated by the radius, intersect — a
+  conservative superset of all true neighbor pairs, so results are EXACT.
+* The (sample tile, source tile) pair list is flattened into the grid
+  dimension (one grid step per surviving pair, sorted by sample tile) and the
+  tile ids ride scalar prefetch; Pallas pipelines the tile fetches. Output
+  tiles accumulate across their consecutive candidate steps.
+* Backward runs the transposed pair list (sorted by SOURCE tile): d/dfeatures
+  accumulates per source tile (deterministic — no atomics, unlike the
+  reference's atomicAdd scatter), parameter grads accumulate across the
+  sequential grid; both from one pair-plane traversal, as in the bucket
+  kernel's fused backward.
+
+The pair-list length is static (``max_pairs``); size it with
+``count_tile_pairs`` (excess pairs would be silently dropped — callers
+assert, as with ``BucketGrid.overflow``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.mcconv import MCConvParams
+from .mcconv_kernel import (
+    _COMPILER_PARAMS,
+    _mm,
+    _pad_lanes,
+    _pair_d2,
+    FEAT_DTYPE,
+    LANE,
+    transposed_tiles,
+    W1_ROWS,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+SENTINEL = 1.0e6  # far-away coordinate: d2 > r^2 against anything real
+
+
+class _TSpec(NamedTuple):
+    """Static tile-kernel configuration."""
+
+    T: int  # points per z-order tile (multiple of 128)
+    C: int  # input channels (multiple of 128)
+    CO: int | None  # None => depthwise; else multiple of 128
+    H: int  # kernel-MLP hidden width
+    radius: float
+    S: int  # padded pair-list length per cloud (grid steps per cloud)
+    NTs: int  # sample tiles (excluding the sentinel tile)
+    NTp: int  # source tiles (excluding the sentinel tile)
+    interpret: bool
+
+
+# ----------------------------------------------------------------------------
+# Morton (z-order) sorting
+# ----------------------------------------------------------------------------
+
+MORTON_BITS = 8  # 256 cells/axis — locality scale far below any conv radius
+
+
+def morton_order(points: Array, mask: Array) -> Array:
+    """(B, N) argsort of the 3-D Morton code (invalid points sort last)."""
+    res = 1 << MORTON_BITS
+    c = jnp.clip((points * res).astype(jnp.int32), 0, res - 1)  # (B, N, 3)
+    code = jnp.zeros(points.shape[:-1], jnp.int32)
+    for b in range(MORTON_BITS):
+        for d in range(3):
+            code = code | (((c[..., d] >> b) & 1) << (3 * b + d))
+    code = jnp.where(mask, code, jnp.int32(2**30))
+    return jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
+
+
+def _sorted_tiles(points, mask, order, T, n_rows):
+    """Morton-sorted positions (B, n_rows + T, LANE) with invalid/padding rows
+    at SENTINEL and one all-sentinel tile appended, plus the sorted validity
+    (B, n_rows) and per-tile valid-point AABBs (B, nt, 3) x2."""
+    B, N, _ = points.shape
+    p = jnp.take_along_axis(points, order[..., None], axis=1)
+    v = jnp.take_along_axis(mask, order, axis=1)
+    pad = n_rows - N
+    p = jnp.pad(p, ((0, 0), (0, pad), (0, 0)), constant_values=SENTINEL)
+    v = jnp.pad(v, ((0, 0), (0, pad)))
+    pv = jnp.where(v[..., None], p, SENTINEL)
+    rows = _pad_lanes(pv)
+    rows = jnp.pad(rows, ((0, 0), (0, T), (0, 0)), constant_values=0.0)
+    rows = rows.at[:, n_rows:, :3].set(SENTINEL)
+    nt = n_rows // T
+    tp = jnp.where(v[..., None], p, jnp.inf).reshape(B, nt, T, 3)
+    mn = tp.min(axis=2)
+    tp = jnp.where(v[..., None], p, -jnp.inf).reshape(B, nt, T, 3)
+    mx = tp.max(axis=2)
+    return rows, v, mn, mx
+
+
+def _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius):
+    """(B, NTs, NTp) bool — sample tile i's AABB dilated by ``radius``
+    intersects source tile j's AABB. Empty tiles (mn=+inf / mx=-inf) never
+    intersect anything."""
+    lo = mn_i[:, :, None, :] - radius <= mx_j[:, None, :, :]
+    hi = mx_i[:, :, None, :] + radius >= mn_j[:, None, :, :]
+    return jnp.all(lo & hi, axis=-1)
+
+
+def _pair_list(adj, S, pad_major, pad_minor):
+    """Lexicographic (major, minor) list of True entries of ``adj``
+    (B, n_major, n_minor), padded to length ``S`` with (pad_major, pad_minor).
+    Major ids are non-decreasing (consecutive output-block revisits)."""
+    B, n_major, n_minor = adj.shape
+    flat = adj.reshape(B, n_major * n_minor)
+    sel = jnp.argsort(~flat, axis=-1, stable=True)[:, :S].astype(jnp.int32)
+    real = jnp.take_along_axis(flat, sel, axis=-1)
+    major = jnp.where(real, sel // n_minor, jnp.int32(pad_major))
+    minor = jnp.where(real, sel % n_minor, jnp.int32(pad_minor))
+    return major, minor
+
+
+def count_tile_pairs(
+    sample_pts: Array,
+    sample_mask: Array,
+    src_pts: Array,
+    src_mask: Array,
+    radius: float,
+    tile: int = 256,
+) -> Array:
+    """Per-cloud surviving tile-pair count — the exact lossless value for
+    ``tile_mc_conv(..., max_pairs=)``. Call on concrete data outside jit
+    (``max_pairs`` must be static)."""
+    B, M, _ = sample_pts.shape
+    N = src_pts.shape[1]
+    nts, ntp = -(-M // tile), -(-N // tile)
+    _, _, mn_i, mx_i = _sorted_tiles(
+        sample_pts, sample_mask, morton_order(sample_pts, sample_mask),
+        tile, nts * tile,
+    )
+    _, _, mn_j, mx_j = _sorted_tiles(
+        src_pts, src_mask, morton_order(src_pts, src_mask), tile, ntp * tile
+    )
+    return _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius).sum((1, 2))
+
+
+# ----------------------------------------------------------------------------
+# Kernels
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    spec: _TSpec,
+    i_ref,  # (B, S) SMEM — sample-tile id per step
+    j_ref,  # (B, S) SMEM — source-tile id per step (NTp = sentinel)
+    smp_t_ref,  # (1, 8, T) — transposed sample tile i
+    cand_pos_ref,  # (1, T, LANE) — source tile j rows
+    cand_feat_ref,  # (1, T, C) bf16 — source tile j features (pdf-weighted)
+    w1_ref,  # (8, H)
+    b1_ref,  # (H, 1)
+    w2_ref,  # depthwise (H, C) | full (H, C, CO)
+    b2_ref,  # depthwise (1, C) | full (C, CO)
+    _out_init,  # (1, T, C') zeros, aliased into out (never-visited tiles)
+    _cnt_init,  # (1, T, 1) zeros, aliased into cnt
+    out_ref,  # (1, T, C') — sample tile i, accumulated across its steps
+    cnt_ref,  # (1, T, 1)
+):
+    step = pl.program_id(0)
+    S = jnp.int32(spec.S)
+    b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
+    i_cur = i_ref[b, k]
+    i_prev = i_ref[b, jnp.maximum(k - 1, 0)]
+    first = (k == 0) | (i_cur != i_prev)
+
+    smp_t = smp_t_ref[0]  # (8, T)
+    cand = cand_pos_ref[0]  # (T, 128)
+    d2 = _pair_d2(cand, smp_t)  # (T, T): candidates x samples
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+    cnt = jnp.sum(maskf, axis=0)  # (T,)
+
+    inv_r = 1.0 / spec.radius
+    cw = (
+        jnp.dot(cand[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (T, H)
+    swT = (
+        jax.lax.dot_general(
+            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, T)
+    fz = cand_feat_ref[0]  # (T, C) bf16
+
+    CO = spec.C if spec.CO is None else spec.CO
+    acc = jnp.zeros((spec.T, CO), jnp.float32)
+    for h in range(spec.H):
+        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
+        a_h = jnp.maximum(pre, 0.0) * maskf  # (T, T)
+        g_h = _mm(a_h, fz, ((0,), (0,)))  # (T, C)
+        if spec.CO is None:
+            acc += g_h * w2_ref[h : h + 1, :]
+        else:
+            acc += jnp.dot(g_h, w2_ref[h], preferred_element_type=jnp.float32)
+    g_0 = _mm(maskf, fz, ((0,), (0,)))
+    if spec.CO is None:
+        acc += g_0 * b2_ref[:]
+    else:
+        acc += jnp.dot(g_0, b2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(first)
+    def _init():
+        out_ref[0] = acc
+        cnt_ref[0] = cnt[:, None]
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        out_ref[0] += acc
+        cnt_ref[0] += cnt[:, None]
+
+
+def _bwd_kernel(
+    spec: _TSpec,
+    j_ref,  # (B, S) SMEM — source-tile id per step (non-decreasing)
+    i_ref,  # (B, S) SMEM — sample-tile id per step (NTs = sentinel)
+    src_t_ref,  # (1, 8, T) — transposed source tile j
+    src_feat_ref,  # (1, T, C) bf16 — source tile j features
+    smp_pos_ref,  # (1, T, LANE) — sample tile i rows
+    dout_ref,  # (1, T, C') — sample tile i cotangent rows
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    _dfeat_init,  # (1, T, C) zeros, aliased into dfeat (never-visited tiles)
+    dfeat_ref,  # (1, T, C) — source tile j, accumulated across its steps
+    dw1_ref,  # (8, H) accumulated across the whole grid
+    db1_ref,  # (H, 1)
+    dw2_ref,  # (H, C) | (H, C, CO)
+    db2_ref,  # (1, C) | (C, CO)
+):
+    step = pl.program_id(0)
+    S = jnp.int32(spec.S)
+    b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
+    j_cur = j_ref[b, k]
+    j_prev = j_ref[b, jnp.maximum(k - 1, 0)]
+    first = (k == 0) | (j_cur != j_prev)
+
+    @pl.when(step == 0)
+    def _zero_params():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    src_t = src_t_ref[0]  # (8, T)
+    q = smp_pos_ref[0]  # (T, 128) — lanes 3.. are zero by construction
+    d2 = _pair_d2(q, src_t)  # (T_q, T_p)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+
+    inv_r = 1.0 / spec.radius
+    cwq = (
+        jnp.dot(q[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (Tq, H)
+    spT = (
+        jax.lax.dot_general(
+            w1_ref[:], src_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, Tp)
+    dout = dout_ref[0]  # (Tq, C') f32
+    fz = src_feat_ref[0]  # (Tp, C) bf16
+    q8 = q[:, :W1_ROWS]  # (Tq, 8)
+
+    acc = jnp.zeros((spec.T, spec.C), jnp.float32)
+    for h in range(spec.H):
+        # offset = src_p - smp_q  =>  pre_h[q, p] = spT[h, p] - cwq[q, h] + b1
+        pre = spT[h : h + 1, :] - cwq[:, h : h + 1] + b1_ref[h, 0]
+        relu_on = (pre > 0.0).astype(jnp.float32) * maskf
+        a_h = jnp.maximum(pre, 0.0) * maskf  # (Tq, Tp)
+        if spec.CO is None:
+            t_h = dout * w2_ref[h : h + 1, :]  # (Tq, C)
+        else:
+            t_h = jax.lax.dot_general(
+                dout, w2_ref[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Tq, C)
+        acc += _mm(a_h, t_h, ((0,), (0,)))  # dfeat: (Tp, C)
+
+        g_h = _mm(a_h, fz, ((1,), (0,)))  # (Tq, C)
+        if spec.CO is None:
+            dw2_ref[h : h + 1, :] += jnp.sum(dout * g_h, axis=0, keepdims=True)
+        else:
+            dw2_ref[h] += jax.lax.dot_general(
+                g_h, dout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, CO)
+        da_h = _mm(t_h, fz, ((1,), (1,)))  # (Tq, Tp)
+        dpre = da_h * relu_on
+        rq = jnp.sum(dpre, axis=1, keepdims=True)  # (Tq, 1)
+        rp = jnp.sum(dpre, axis=0, keepdims=True)  # (1, Tp)
+        t_src = jax.lax.dot_general(
+            src_t, rp, (((1,), (1,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        t_smp = jax.lax.dot_general(
+            q8, rq, (((0,), (0,)), ((), ())), precision=_HI,
+            preferred_element_type=jnp.float32,
+        )  # (8, 1)
+        dw1_ref[:, h : h + 1] += (t_src - t_smp) * inv_r
+        db1_ref[h : h + 1, :] += jnp.sum(dpre, keepdims=True).reshape(1, 1)
+
+    if spec.CO is None:
+        t_0 = dout * b2_ref[:]
+    else:
+        t_0 = jax.lax.dot_general(
+            dout, b2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += _mm(maskf, t_0, ((0,), (0,)))
+
+    g_0 = _mm(maskf, fz, ((1,), (0,)))  # (Tq, C)
+    if spec.CO is None:
+        db2_ref[:] += jnp.sum(dout * g_0, axis=0, keepdims=True)
+    else:
+        db2_ref[:] += jax.lax.dot_general(
+            g_0, dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first)
+    def _init():
+        dfeat_ref[0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        dfeat_ref[0] += acc
+
+
+# ----------------------------------------------------------------------------
+# pallas_call wrappers
+# ----------------------------------------------------------------------------
+
+
+def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, j_ids):
+    S, T = spec.S, spec.T
+    CO = spec.C if spec.CO is None else spec.CO
+
+    def ix_i(s, i, j):
+        b = jax.lax.div(s, jnp.int32(S))
+        return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+    def ix_j(s, i, j):
+        b = jax.lax.div(s, jnp.int32(S))
+        return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * S,),
+            in_specs=[
+                vm((1, 8, T), ix_i),
+                vm((1, T, LANE), ix_j),
+                vm((1, T, spec.C), ix_j),
+                vm(),
+                vm(),
+                vm(),
+                vm(),
+                vm((1, T, CO), ix_i),  # zero init for out (aliased)
+                vm((1, T, 1), ix_i),  # zero init for cnt (aliased)
+            ],
+            out_specs=[vm((1, T, CO), ix_i), vm((1, T, 1), ix_i)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, spec.NTs * T, CO), jnp.float32),
+            jax.ShapeDtypeStruct((B, spec.NTs * T, 1), jnp.float32),
+        ],
+        input_output_aliases={9: 0, 10: 1},  # zero inits -> never-visited tiles
+        interpret=spec.interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(
+        i_ids, j_ids, smp_t, src_pos, src_feat, w1, b1, w2, b2,
+        jnp.zeros((B, spec.NTs * T, CO), jnp.float32),
+        jnp.zeros((B, spec.NTs * T, 1), jnp.float32),
+    )
+
+
+def _bwd_call(
+    spec: _TSpec, B, src_t, src_feat, smp_pos, dout, w1, b1, w2, b2, jb_ids, ib_ids
+):
+    S, T = spec.S, spec.T
+    CO = spec.C if spec.CO is None else spec.CO
+
+    def ix_j(s, j, i):
+        b = jax.lax.div(s, jnp.int32(S))
+        return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+    def ix_i(s, j, i):
+        b = jax.lax.div(s, jnp.int32(S))
+        return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+    const2 = lambda s, j, i: (0, 0)
+    const3 = lambda s, j, i: (0, 0, 0)
+    w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
+    b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * S,),
+            in_specs=[
+                vm((1, 8, T), ix_j),
+                vm((1, T, spec.C), ix_j),
+                vm((1, T, LANE), ix_i),
+                vm((1, T, CO), ix_i),
+                vm(),
+                vm(),
+                vm(),
+                vm(),
+                vm((1, T, spec.C), ix_j),  # zero init for dfeat (aliased)
+            ],
+            out_specs=[
+                vm((1, T, spec.C), ix_j),
+                vm((W1_ROWS, spec.H), const2),
+                vm((spec.H, 1), const2),
+                vm(w2_shape, const2 if spec.CO is None else const3),
+                vm(b2_shape, const2),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, spec.NTp * T, spec.C), jnp.float32),
+            jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
+            jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2_shape, jnp.float32),
+            jax.ShapeDtypeStruct(b2_shape, jnp.float32),
+        ],
+        input_output_aliases={10: 0},
+        interpret=spec.interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(
+        jb_ids, ib_ids, src_t, src_feat, smp_pos, dout, w1, b1, w2, b2,
+        jnp.zeros((B, spec.NTp * T, spec.C), jnp.float32),
+    )
+    return dfeat, dw1, db1, dw2, db2
+
+
+# ----------------------------------------------------------------------------
+# custom VJP core
+# ----------------------------------------------------------------------------
+
+
+def _ids(x):
+    return x.astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tile_conv_core(
+    spec: _TSpec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat,
+    i_f, j_f, jb_f, ib_f,
+):
+    B = smp_t.shape[0]
+    out, cnt = _fwd_call(
+        spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, _ids(i_f), _ids(j_f)
+    )
+    return out, cnt
+
+
+def _core_fwd(
+    spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat,
+    i_f, j_f, jb_f, ib_f,
+):
+    B = smp_t.shape[0]
+    out, cnt = _fwd_call(
+        spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, _ids(i_f), _ids(j_f)
+    )
+    return (out, cnt), (
+        w1, b1, w2, b2, smp_pos, src_t, src_feat, jb_f, ib_f,
+    )
+
+
+def _core_bwd(spec, res, cts):
+    dout, _dcnt = cts  # cnt does not depend on params/features
+    w1, b1, w2, b2, smp_pos, src_t, src_feat, jb_f, ib_f = res
+    B = src_t.shape[0]
+    # Sentinel sample tile for padding pair entries: zero cotangent rows.
+    dout_pad = jnp.pad(dout, ((0, 0), (0, spec.T), (0, 0)))
+    dfeat, dw1, db1, dw2, db2 = _bwd_call(
+        spec, B, src_t, src_feat, smp_pos, dout_pad, w1, b1, w2, b2,
+        _ids(jb_f), _ids(ib_f),
+    )
+    # Cotangent of src_feat must match its (B, (NTp+1)*T, C) shape.
+    dfeat = jnp.pad(dfeat, ((0, 0), (0, spec.T), (0, 0)))
+    return (
+        dw1,
+        db1,
+        dw2,
+        db2,
+        jnp.zeros((B, spec.NTs * 8, spec.T), jnp.float32),  # smp_t
+        jnp.zeros_like(smp_pos),
+        jnp.zeros((B, (spec.NTp + 1) * spec.T, LANE), jnp.float32),  # src_pos
+        jnp.zeros_like(src_t),
+        dfeat.astype(src_feat.dtype),
+        jnp.zeros_like(jb_f),  # i_f
+        jnp.zeros_like(jb_f),  # j_f
+        jnp.zeros_like(jb_f),
+        jnp.zeros_like(ib_f),
+    )
+
+
+_tile_conv_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ----------------------------------------------------------------------------
+# public entry
+# ----------------------------------------------------------------------------
+
+
+def tile_mc_conv(
+    params: MCConvParams,
+    sample_pts: Array,
+    sample_mask: Array,
+    src_pts: Array,
+    src_mask: Array,
+    features: Array,
+    pdf: Array,
+    radius: float,
+    *,
+    max_pairs: int,
+    tile: int = 256,
+    c_out: int | None = None,
+    mean_normalize: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """Monte-Carlo conv via the z-order tile kernel (big-scene path).
+
+    Semantics match ``core.mc_conv`` with unbounded neighbor capacity (all
+    in-radius neighbors contribute), like ``bucket_mc_conv``. ``max_pairs``
+    is the static per-cloud tile-pair capacity — size it with
+    ``count_tile_pairs`` (pairs beyond it are dropped tile-by-tile from the
+    high end of the sample range; always assert the count fits).
+    """
+    B, M, _ = sample_pts.shape
+    N = src_pts.shape[1]
+    C = features.shape[-1]
+    H = params.w1.shape[1]
+    T = tile
+    assert T % LANE == 0, "tile must be a multiple of 128"
+
+    Cp = -(-C // LANE) * LANE
+    COp = None if c_out is None else -(-c_out // LANE) * LANE
+
+    wf = features / pdf[..., None]
+    if Cp != C:
+        wf = jnp.pad(wf, ((0, 0), (0, 0), (0, Cp - C)))
+
+    w1 = jnp.pad(params.w1, ((0, W1_ROWS - 3), (0, 0)))
+    b1 = params.b1.reshape(H, 1)
+    if c_out is None:
+        w2 = jnp.pad(params.w2, ((0, 0), (0, Cp - C)))
+        b2 = jnp.pad(params.b2.reshape(1, C), ((0, 0), (0, Cp - C)))
+    else:
+        w2 = jnp.pad(
+            params.w2.reshape(H, C, c_out), ((0, 0), (0, Cp - C), (0, COp - c_out))
+        )
+        b2 = jnp.pad(params.b2.reshape(C, c_out), ((0, Cp - C), (0, COp - c_out)))
+
+    nts, ntp = -(-M // T), -(-N // T)
+
+    order_s = morton_order(sample_pts, sample_mask)
+    order_p = morton_order(src_pts, src_mask)
+    smp_rows, smp_valid, mn_i, mx_i = _sorted_tiles(
+        sample_pts, sample_mask, order_s, T, nts * T
+    )
+    src_rows, src_valid, mn_j, mx_j = _sorted_tiles(
+        src_pts, src_mask, order_p, T, ntp * T
+    )
+
+    wf_sorted = jnp.take_along_axis(wf, order_p[..., None], axis=1)
+    wf_sorted = jnp.where(src_valid[:, :N, None], wf_sorted, 0.0)
+    wf_sorted = jnp.pad(
+        wf_sorted, ((0, 0), (0, (ntp + 1) * T - N), (0, 0))
+    ).astype(FEAT_DTYPE)
+
+    adj = _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius)
+    S = min(max_pairs, nts * ntp)
+    # fwd list: sorted by sample tile; padding = (last sample tile, sentinel)
+    i_ids, j_ids = _pair_list(adj, S, nts - 1, ntp)
+    # bwd list: sorted by source tile; padding = (last source tile, sentinel)
+    jb_ids, ib_ids = _pair_list(jnp.swapaxes(adj, 1, 2), S, ntp - 1, nts)
+
+    smp_t = transposed_tiles(smp_rows[:, : nts * T], T)  # (B, nts*8, T)
+    src_t = transposed_tiles(src_rows[:, : ntp * T], T)  # (B, ntp*8, T)
+
+    spec = _TSpec(
+        T=T, C=Cp, CO=COp, H=H, radius=radius, S=S, NTs=nts, NTp=ntp,
+        interpret=interpret,
+    )
+
+    out_sorted, cnt = _tile_conv_core(
+        spec, w1, b1, w2, b2, smp_t, smp_rows, src_rows, src_t, wf_sorted,
+        i_ids.astype(jnp.float32), j_ids.astype(jnp.float32),
+        jb_ids.astype(jnp.float32), ib_ids.astype(jnp.float32),
+    )
+    co_real = C if c_out is None else c_out
+    out_sorted = out_sorted[..., :co_real]
+    if mean_normalize:
+        cnt = jax.lax.stop_gradient(cnt)
+        out_sorted = out_sorted / jnp.maximum(cnt, 1.0)
+
+    # Un-sort back to the caller's sample order; invalid samples get zeros.
+    out_sorted = jnp.where(smp_valid[..., None], out_sorted, 0.0)
+
+    def unsort(o, rows):
+        return jnp.zeros((M, co_real), rows.dtype).at[o[:M]].set(rows[:M])
+
+    out = jax.vmap(unsort)(order_s, out_sorted)
+    return jnp.where(sample_mask[..., None], out, 0.0)

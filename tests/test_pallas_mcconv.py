@@ -122,3 +122,36 @@ def test_mean_normalize_parity(rng):
         np.asarray(got), np.asarray(want),
         rtol=2e-2, atol=2e-2 * float(jnp.abs(want).max()),
     )
+
+
+def test_active_brick_skip_matches_dense_sweep(rng):
+    """Active-brick iteration (max_active_bricks via scalar prefetch) must be
+    numerically IDENTICAL to the dense brick sweep — fwd, dfeat, and param
+    grads — when the capacity covers all occupied bricks."""
+    src, smp, feats, smask, qmask, pdf = setup(rng, B=2, N=96, M=80)
+    radius = 0.18  # small radius -> several bricks, many empty
+    params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], None)
+
+    def run(nba):
+        sg = build_buckets(smp, qmask, radius, cap=16)
+        gg = build_buckets(src, smask, radius, cap=16)
+
+        def loss(p, f):
+            out = bucket_mc_conv(
+                p, sg, qmask, gg, f, pdf, interpret=True,
+                max_active_bricks=nba,
+            )
+            return jnp.sum(out * out), out
+
+        (val, out), (gp, gf) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(params, feats)
+        return out, gp, gf
+
+    out_d, gp_d, gf_d = run(None)
+    # capacity: number of bricks is small at this radius; 64 covers all
+    out_a, gp_a, gf_a = run(64)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_a), np.asarray(gf_d), rtol=1e-6)
+    for a, d in zip(jax.tree.leaves(gp_a), jax.tree.leaves(gp_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), rtol=1e-6)

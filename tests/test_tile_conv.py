@@ -1,0 +1,164 @@
+"""Parity tests: the z-order tile Pallas kernel vs the jnp reference conv
+(which itself is oracle-tested). Run in interpret mode on CPU; the compiled
+TPU path is exercised by bench_suite / the verify drive.
+
+The tile kernel is the big-scene path (SURVEY §2.1 spatial_conv at scene
+scale); these tests use small clouds with several tiles so the pair-list
+machinery (adjacency, padding entries, sentinel tiles, accumulation across
+candidate steps) is fully exercised.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mccnn_tpu.core import init_mcconv_params, mc_conv, radius_neighbors
+from mccnn_tpu.ops.pallas import count_tile_pairs, tile_mc_conv
+
+TILE = 128  # smallest legal tile (lane width) — maximizes tiles per test
+
+
+def setup(rng, B=2, N=400, M=180, c_in=8, radius=0.25):
+    src = rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32)
+    smp = rng.uniform(0, 1, size=(B, M, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, c_in)).astype(np.float32)
+    smask = np.ones((B, N), bool)
+    smask[0, -50:] = False
+    qmask = np.ones((B, M), bool)
+    qmask[-1, -20:] = False
+    pdf = rng.uniform(0.5, 2.0, size=(B, N)).astype(np.float32)
+    return (
+        jnp.asarray(src),
+        jnp.asarray(smp),
+        jnp.asarray(feats),
+        jnp.asarray(smask),
+        jnp.asarray(qmask),
+        jnp.asarray(pdf),
+    )
+
+
+def reference(src, smp, feats, smask, qmask, pdf, radius, c_out, params, **kw):
+    nbh = radius_neighbors(smp, qmask, src, smask, radius, src.shape[1])
+    out = mc_conv(params, smp, nbh, src, feats, pdf, c_out=c_out, **kw)
+    return jnp.where(qmask[..., None], out, 0.0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _max_pairs(smp, qmask, src, smask, radius):
+    return int(count_tile_pairs(smp, qmask, src, smask, radius, TILE).max())
+
+
+@pytest.mark.parametrize("c_out", [None, 48])
+def test_tile_conv_matches_reference(rng, c_out):
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], c_out)
+    S = _max_pairs(smp, qmask, src, smask, radius)
+
+    got = tile_mc_conv(
+        params, smp, qmask, src, smask, feats, pdf, radius,
+        max_pairs=S, tile=TILE, c_out=c_out, interpret=True,
+    )
+    want = reference(src, smp, feats, smask, qmask, pdf, radius, c_out, params)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(want).max()),
+    )
+
+
+def test_tile_conv_grads_match_reference(rng):
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], None)
+    S = _max_pairs(smp, qmask, src, smask, radius)
+
+    def loss_tile(p, f):
+        o = tile_mc_conv(
+            p, smp, qmask, src, smask, f, pdf, radius,
+            max_pairs=S, tile=TILE, interpret=True,
+        )
+        return jnp.sum(o * o)
+
+    def loss_ref(p, f):
+        return jnp.sum(
+            reference(src, smp, f, smask, qmask, pdf, radius, None, p) ** 2
+        )
+
+    gp_t, gf_t = jax.grad(loss_tile, argnums=(0, 1))(params, feats)
+    gp_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(params, feats)
+    scale = float(jnp.abs(gf_r).max())
+    np.testing.assert_allclose(
+        np.asarray(gf_t), np.asarray(gf_r), rtol=2e-2, atol=2e-2 * scale
+    )
+    for a, b in zip(jax.tree.leaves(gp_t), jax.tree.leaves(gp_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=2e-2, atol=2e-2 * float(jnp.abs(b).max()),
+        )
+
+
+def test_tile_conv_mean_normalize(rng):
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(2), feats.shape[-1], None)
+    S = _max_pairs(smp, qmask, src, smask, radius)
+    got = tile_mc_conv(
+        params, smp, qmask, src, smask, feats, pdf, radius,
+        max_pairs=S, tile=TILE, mean_normalize=True, interpret=True,
+    )
+    want = reference(
+        src, smp, feats, smask, qmask, pdf, radius, None, params,
+        mean_normalize=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want),
+        rtol=2e-2, atol=2e-2 * float(jnp.abs(want).max()),
+    )
+
+
+def test_tile_conv_generous_capacity_is_identical(rng):
+    """Padding pair entries (sentinel tiles) must contribute exactly zero:
+    max_pairs = exact count and max_pairs = way more must agree bitwise."""
+    src, smp, feats, smask, qmask, pdf = setup(rng, B=1, N=300, M=300)
+    radius = 0.2
+    params = init_mcconv_params(jax.random.PRNGKey(3), feats.shape[-1], None)
+    S = _max_pairs(smp, qmask, src, smask, radius)
+
+    def run(cap):
+        def loss(p, f):
+            o = tile_mc_conv(
+                p, smp, qmask, src, smask, f, pdf, radius,
+                max_pairs=cap, tile=TILE, interpret=True,
+            )
+            return jnp.sum(o * o), o
+
+        (_, out), (gp, gf) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(params, feats)
+        return out, gp, gf
+
+    out_a, gp_a, gf_a = run(S)
+    out_b, gp_b, gf_b = run(S + 5)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_array_equal(np.asarray(gf_a), np.asarray(gf_b))
+    for a, b in zip(jax.tree.leaves(gp_a), jax.tree.leaves(gp_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tile_conv_fully_masked_cloud(rng):
+    src, smp, feats, smask, qmask, pdf = setup(rng, B=2, N=256, M=128)
+    smask = smask.at[0].set(False)
+    qmask = qmask.at[0].set(False)
+    params = init_mcconv_params(jax.random.PRNGKey(4), feats.shape[-1], None)
+    S = max(_max_pairs(smp, qmask, src, smask, 0.25), 1)
+    out = tile_mc_conv(
+        params, smp, qmask, src, smask, feats, pdf, 0.25,
+        max_pairs=S, tile=TILE, interpret=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.abs(out[0]).sum()) == 0.0
