@@ -38,6 +38,12 @@ class SpatialCache:
     kde_window: float = 0.25
     pdf_neighbor_k: int = 32
     bucket_cap: int | None = None  # None -> per-level heuristic
+    # Static tile-pair capacity for the z-order tile conv backend
+    # (ops/pallas/tile_conv.py). When set, big-N conv sites route to the tile
+    # kernel instead of the bucket kernel; size with
+    # ``ops.pallas.count_tile_pairs`` on representative data (+headroom) —
+    # pairs beyond the capacity are dropped.
+    tile_pairs: int | None = None
     _nbh: dict = field(default_factory=dict)
     _pdf: dict = field(default_factory=dict)
     _buckets: dict = field(default_factory=dict)
@@ -81,6 +87,20 @@ class SpatialCache:
             from ..core.pdf import DENSE_KDE_MAX_N
 
             lvl = self.hierarchy.levels[level]
+            if (
+                self.tile_pairs is not None
+                and lvl.points.shape[1] > DENSE_KDE_MAX_N
+            ):
+                # big-scene EXACT density via the z-order tile kernel (no
+                # K-capacity truncation) — same capacity knob as the conv
+                self._pdf[key] = kde_density(
+                    lvl.points,
+                    lvl.mask,
+                    float(radius),
+                    kde_window=self.kde_window,
+                    tile_pairs=self.tile_pairs,
+                )
+                return self._pdf[key]
             nbh = None
             if (
                 lvl.points.shape[1] > DENSE_KDE_MAX_N

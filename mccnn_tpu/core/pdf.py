@@ -34,6 +34,7 @@ def kde_density(
     kde_window: float = 0.25,
     neighborhood: Neighborhood | None = None,
     k: int = 32,
+    tile_pairs: int | None = None,
 ) -> Array:
     """Gaussian-KDE sample density of each point within its own point set.
 
@@ -58,10 +59,22 @@ def kde_density(
       kde_window: bandwidth as a fraction of the radius (reference default 0.25).
       neighborhood: optional precomputed self-neighborhood (else computed here).
       k: neighbor capacity when computing the self-neighborhood.
+      tile_pairs: static tile-pair capacity (``ops.pallas.count_tile_pairs``
+        on the point set against itself) — routes to the EXACT z-order tile
+        kernel, the big-scene path (no K truncation at any N).
     """
     h = kde_window * float(radius)
     N = points.shape[1]
     import jax
+
+    if tile_pairs is not None:
+        # Big-scene EXACT path: z-order tile kernel (no K truncation). The
+        # static pair capacity comes from the caller (count_tile_pairs).
+        from ..ops.pallas.tile_conv import tile_kde
+
+        return tile_kde(
+            points, mask, radius, max_pairs=tile_pairs, kde_window=kde_window
+        )
 
     if (
         neighborhood is None

@@ -20,7 +20,7 @@ from jax import Array
 from ..api.builder import SpatialCache
 from ..core.mcconv import KERNEL_HIDDEN, MCConvParams, mc_conv
 from ..ops.dispatch import pick_backend
-from ..ops.pallas import bucket_mc_conv, dense_mc_conv
+from ..ops.pallas import bucket_mc_conv, dense_mc_conv, tile_mc_conv
 
 
 class MCConv(nn.Module):
@@ -68,7 +68,21 @@ class MCConv(nn.Module):
         # usePDF=False mode (reference flag): plain neighborhood mean
         mean_norm = not self.use_pdf
         backend = pick_backend(src.points.shape[1], radius, self.c_in, self.c_out)
-        if backend == "dense":
+        if backend == "bucket" and cache.tile_pairs is not None:
+            backend = "tile"  # z-order tiles beat buckets at big-scene scale
+        if backend == "tile":
+            if cache.tile_pairs is None:
+                raise ValueError(
+                    "tile backend needs SpatialCache(tile_pairs=...) — size "
+                    "it with ops.pallas.count_tile_pairs on representative "
+                    "data"
+                )
+            out = tile_mc_conv(
+                params, dst.points, dst.mask, src.points, src.mask,
+                features, pdf, radius, max_pairs=cache.tile_pairs,
+                c_out=self.c_out, mean_normalize=mean_norm,
+            )
+        elif backend == "dense":
             out = dense_mc_conv(
                 params, dst.points, dst.mask, src.points, src.mask,
                 features, pdf, radius, c_out=self.c_out,

@@ -8,7 +8,12 @@ Three implementations, picked per conv site:
     ghost-grid cell windows. For big scenes where N is too large for VMEM.
   * ``jnp``    — portable reference path (core/mcconv.py). CPU/debug.
 
-Force with ``MCCNN_TPU_CONV_BACKEND={dense,bucket,jnp}``.
+A fourth backend, ``tile`` (ops/pallas/tile_conv.py — z-order tiles, the
+fastest big-scene path), needs a STATIC pair capacity and therefore is only
+auto-picked when the caller configures ``SpatialCache(tile_pairs=...)``; it
+can also be forced with the env var.
+
+Force with ``MCCNN_TPU_CONV_BACKEND={dense,bucket,tile,jnp}``.
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ def conv_backend() -> str:
     forced = os.environ.get(_ENV)
     if forced in ("pallas", "bucket"):
         return "bucket"
-    if forced in ("dense", "jnp"):
+    if forced in ("dense", "jnp", "tile"):
         return forced
     return "auto"
 

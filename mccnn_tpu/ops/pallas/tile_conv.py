@@ -633,3 +633,114 @@ def tile_mc_conv(
 
     out = jax.vmap(unsort)(order_s, out_sorted)
     return jnp.where(sample_mask[..., None], out, 0.0)
+
+
+# ----------------------------------------------------------------------------
+# Tile KDE (big-scene exact density — same machinery, no feature path)
+# ----------------------------------------------------------------------------
+
+
+def _kde_kernel(
+    spec: _TSpec,
+    h2: float,
+    i_ref,
+    j_ref,
+    smp_t_ref,  # (1, 8, T)
+    cand_pos_ref,  # (1, T, LANE)
+    _dens_init,  # (1, T, 1) zeros, aliased (never-visited tiles)
+    dens_ref,  # (1, T, 1)
+):
+    step = pl.program_id(0)
+    S = jnp.int32(spec.S)
+    b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
+    first = (k == 0) | (i_ref[b, k] != i_ref[b, jnp.maximum(k - 1, 0)])
+
+    d2 = _pair_d2(cand_pos_ref[0], smp_t_ref[0])  # (T, T)
+    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+    kern = jnp.exp(jnp.minimum(-0.5 * d2 / h2, 0.0)) * maskf
+    dens = jnp.sum(kern, axis=0)  # (T,) — over candidates
+
+    @pl.when(first)
+    def _init():
+        dens_ref[0] = dens[:, None]
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        dens_ref[0] += dens[:, None]
+
+
+def tile_kde(
+    points: Array,
+    mask: Array,
+    radius: float,
+    *,
+    max_pairs: int,
+    tile: int = 256,
+    kde_window: float = 0.25,
+    interpret: bool = False,
+) -> Array:
+    """Exact Gaussian-KDE density via z-order tiles (big-scene path).
+
+    Same estimator as ``core.pdf.kde_density``'s dense path — per-point sum
+    of ``exp(-d^2 / 2h^2)`` over ALL in-radius neighbors (self included),
+    ``h = kde_window * radius``, times the 3-D Gaussian normalization;
+    masked points get density 1. Replaces the K-capacity tail-corrected
+    approximation that the dense/Pallas paths hand off to above N=8192.
+    ``max_pairs`` as in ``tile_mc_conv`` (``count_tile_pairs`` on the same
+    point set twice).
+    """
+    import math
+
+    B, N, _ = points.shape
+    T = tile
+    assert T % LANE == 0
+    h = kde_window * float(radius)
+    nt = -(-N // T)
+
+    order = morton_order(points, mask)
+    rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
+    adj = _tile_adjacency(mn, mx, mn, mx, radius)
+    S = min(max_pairs, nt * nt)
+    i_ids, j_ids = _pair_list(adj, S, nt - 1, nt)
+    smp_t = transposed_tiles(rows[:, : nt * T], T)
+
+    spec = _TSpec(
+        T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt,
+        interpret=interpret,
+    )
+
+    def ix_i(s, i, j):
+        b = jax.lax.div(s, jnp.int32(S))
+        return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+    def ix_j(s, i, j):
+        b = jax.lax.div(s, jnp.int32(S))
+        return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    dens = pl.pallas_call(
+        functools.partial(_kde_kernel, spec, h * h),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * S,),
+            in_specs=[
+                vm((1, 8, T), ix_i),
+                vm((1, T, LANE), ix_j),
+                vm((1, T, 1), ix_i),
+            ],
+            out_specs=vm((1, T, 1), ix_i),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nt * T, 1), jnp.float32),
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(i_ids, j_ids, smp_t, rows, jnp.zeros((B, nt * T, 1), jnp.float32))
+
+    norm = 1.0 / ((h**3) * (2.0 * math.pi) ** 1.5)
+    dens = norm * dens[..., 0]
+
+    def unsort(o, d):
+        return jnp.zeros((N,), d.dtype).at[o[:N]].set(d[:N])
+
+    out = jax.vmap(unsort)(order, dens)
+    return jnp.where(mask, out, 1.0)

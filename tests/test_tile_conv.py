@@ -150,6 +150,24 @@ def test_tile_conv_generous_capacity_is_identical(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_tile_kde_matches_dense_exact(rng):
+    """tile_kde (z-order tiles, f32 VPU) vs the dense exact KDE path."""
+    from mccnn_tpu.core import kde_density
+    from mccnn_tpu.ops.pallas import tile_kde
+
+    B, N, r = 2, 600, 0.18
+    pts = jnp.asarray(rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32))
+    mask = jnp.asarray(np.ones((B, N), bool)).at[0, 550:].set(False)
+    S = int(count_tile_pairs(pts, mask, pts, mask, r, TILE).max())
+    got = tile_kde(pts, mask, r, max_pairs=S, tile=TILE, interpret=True)
+    want = kde_density(pts, mask, r)  # dense exact path on CPU at this N
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3
+    )
+    # masked points must report density 1 exactly
+    np.testing.assert_array_equal(np.asarray(got[0, 550:]), 1.0)
+
+
 def test_tile_conv_fully_masked_cloud(rng):
     src, smp, feats, smask, qmask, pdf = setup(rng, B=2, N=256, M=128)
     smask = smask.at[0].set(False)

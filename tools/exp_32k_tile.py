@@ -40,3 +40,16 @@ for _ in range(6):
 t = best - 0.030
 print(f"T={T} full fwd+bwd: {best*1e3:.1f} ms raw; ~{t*1e3:.1f} ms net -> "
       f"{N/t/1e6:.2f} Mpts/s", flush=True)
+
+# exact big-scene KDE via the same tile machinery
+from mccnn_tpu.ops.pallas import tile_kde
+
+kd = jax.jit(lambda: tile_kde(pts, mask, radius, max_pairs=S, tile=T))
+t0 = time.perf_counter(); jax.block_until_ready(kd())
+print(f"tile_kde compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+best = 1e9
+for _ in range(6):
+    t0 = time.perf_counter(); jax.block_until_ready(kd())
+    best = min(best, time.perf_counter()-t0)
+t = best - 0.030
+print(f"T={T} tile_kde: {best*1e3:.1f} ms raw; ~{t*1e3:.1f} ms net", flush=True)
