@@ -139,11 +139,10 @@ def main():
         if tile_path:
             from mccnn_tpu.ops.pallas import count_tile_pairs, tile_mc_conv
 
-            S = int(count_tile_pairs(pts, mask, pts, mask, radius, 256).max())
+            S = int(count_tile_pairs(pts, mask, pts, mask, radius).max())
             t = fb(
                 lambda p, f: tile_mc_conv(
-                    p, pts, mask, pts, mask, f, pdf, radius,
-                    max_pairs=S, tile=256,
+                    p, pts, mask, pts, mask, f, pdf, radius, max_pairs=S
                 )
             )
             emit(f"conv z-tile({S}) fwd+bwd {tag}", t, mpts / t)
@@ -164,7 +163,7 @@ def main():
     if only in (None, "1k"):
         bench_config(8, 1024, 128, 0.2, "B8 N1k C128", cap=24)
     if (not args.quick and only is None) or only == "4k":
-        bench_config(4, 4096, 128, 0.1, "B4 N4k C128")
+        bench_config(4, 4096, 128, 0.1, "B4 N4k C128", tile_path=True)
     if (not args.quick and only is None) or only == "32k":
         # ScanNet-scale single cloud (VERDICT r1 #6): dense is out of its
         # depth here (overcompute ~N/K ~ 1900x) — the bucket path is the

@@ -28,6 +28,9 @@ class MCSeg(nn.Module):
     use_pdf: bool = True
     bn_momentum: float = 0.9
     bn_schedule_steps: int | None = None
+    # Static tile-pair capacity: routes big-N conv/pdf sites to the z-order
+    # tile kernels (whole-scene single-chip path; see ops/pallas/tile_conv.py)
+    tile_pairs: int | None = None
 
     @nn.compact
     def __call__(
@@ -51,7 +54,9 @@ class MCSeg(nn.Module):
         hier = build_hierarchy(
             points, mask, self.radii, neighbor_k=self.neighbor_k, global_level=False
         )
-        cache = SpatialCache(hier, neighbor_k=self.neighbor_k)
+        cache = SpatialCache(
+            hier, neighbor_k=self.neighbor_k, tile_pairs=self.tile_pairs
+        )
         g = self.grow
         n_levels = len(hier)
         widths = [g * (2**i) for i in range(n_levels - 1)]  # per encoder level

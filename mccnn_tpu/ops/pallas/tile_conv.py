@@ -56,6 +56,14 @@ from .mcconv_kernel import (
 _HI = jax.lax.Precision.HIGHEST
 SENTINEL = 1.0e6  # far-away coordinate: d2 > r^2 against anything real
 
+# Measured-best big-scene config (32k surface scene, v5e): T=128 has ~40 %
+# fewer true candidate pairs than T=256 (tighter AABBs), and chunk=8 restores
+# the per-step matmul height / amortizes step overhead — 10.6 ms fwd+bwd vs
+# 15.2 ms for (256, 1). ``count_tile_pairs`` MUST be called with the same
+# tile as the kernel (pair counts differ per tile size).
+DEFAULT_TILE = 128
+DEFAULT_CHUNK = 8
+
 
 class _TSpec(NamedTuple):
     """Static tile-kernel configuration."""
@@ -65,10 +73,13 @@ class _TSpec(NamedTuple):
     CO: int | None  # None => depthwise; else multiple of 128
     H: int  # kernel-MLP hidden width
     radius: float
-    S: int  # padded pair-list length per cloud (grid steps per cloud)
+    S: int  # padded step-list length per cloud (grid steps per cloud)
     NTs: int  # sample tiles (excluding the sentinel tile)
     NTp: int  # source tiles (excluding the sentinel tile)
     interpret: bool
+    G: int = 1  # candidate tiles per grid step (chunking: amortizes per-step
+    # overhead and feeds the MXU (G*T)-row pair planes; quantization waste is
+    # <= one partial chunk per output tile)
 
 
 # ----------------------------------------------------------------------------
@@ -134,13 +145,69 @@ def _pair_list(adj, S, pad_major, pad_minor):
     return major, minor
 
 
+def _chunked_pair_lists(adj, S_steps, G, pad_major, sentinel_minor):
+    """Chunked step list over ``adj`` (B, n_major, n_minor): each step is one
+    major tile plus up to ``G`` of its true minors. Returns ``major``
+    (B, S_steps) — non-decreasing, padded with ``pad_major`` — and ``minors``
+    (B, S_steps, G) padded with ``sentinel_minor``."""
+    B, n_major, n_minor = adj.shape
+    # compact each row's true minors to the front (stable: ascending ids)
+    order = jnp.argsort(~adj, axis=-1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(adj, axis=-1)  # (B, n_major)
+    rank = jnp.arange(n_minor, dtype=jnp.int32)[None, None, :]
+    minors_full = jnp.where(rank < cnt[..., None], order, jnp.int32(sentinel_minor))
+    n_chunks = -(-n_minor // G)
+    pad = n_chunks * G - n_minor
+    minors_full = jnp.pad(
+        minors_full, ((0, 0), (0, 0), (0, pad)),
+        constant_values=sentinel_minor,
+    )
+    chunks = minors_full.reshape(B, n_major, n_chunks, G)
+    occ = (
+        jnp.arange(n_chunks, dtype=jnp.int32)[None, None, :] * G
+        < cnt[..., None]
+    )
+    occ_flat = occ.reshape(B, n_major * n_chunks)
+    sel = jnp.argsort(~occ_flat, axis=-1, stable=True)[:, :S_steps].astype(
+        jnp.int32
+    )
+    real = jnp.take_along_axis(occ_flat, sel, axis=-1)
+    major = jnp.where(real, sel // n_chunks, jnp.int32(pad_major))
+    flat_chunks = chunks.reshape(B, n_major * n_chunks, G)
+    minors = jnp.take_along_axis(
+        flat_chunks, jnp.where(real, sel, 0)[..., None], axis=1
+    )
+    minors = jnp.where(real[..., None], minors, jnp.int32(sentinel_minor))
+    # S_steps can exceed this direction's natural list length (it is shared
+    # with the transposed direction) — pad with inert steps, NEVER truncate:
+    # the kernel indexes ids[b, k] for k < S_steps, and a short array would
+    # clamp-read earlier entries and double-accumulate their tiles.
+    L = major.shape[1]
+    if L < S_steps:
+        major = jnp.pad(
+            major, ((0, 0), (0, S_steps - L)), constant_values=pad_major
+        )
+        minors = jnp.pad(
+            minors, ((0, 0), (0, S_steps - L), (0, 0)),
+            constant_values=sentinel_minor,
+        )
+    return major, minors
+
+
+def _steps_for_pairs(max_pairs, G, n_major, n_minor):
+    """Static step capacity: ceil(pairs/G) plus one partial chunk per major
+    row covers any distribution of ``max_pairs`` pairs over rows."""
+    full = -(-max_pairs // G) + n_major
+    return min(full, n_major * (-(-n_minor // G)))
+
+
 def count_tile_pairs(
     sample_pts: Array,
     sample_mask: Array,
     src_pts: Array,
     src_mask: Array,
     radius: float,
-    tile: int = 256,
+    tile: int = DEFAULT_TILE,
 ) -> Array:
     """Per-cloud surviving tile-pair count — the exact lossless value for
     ``tile_mc_conv(..., max_pairs=)``. Call on concrete data outside jit
@@ -165,20 +232,23 @@ def count_tile_pairs(
 
 def _fwd_kernel(
     spec: _TSpec,
-    i_ref,  # (B, S) SMEM — sample-tile id per step
-    j_ref,  # (B, S) SMEM — source-tile id per step (NTp = sentinel)
-    smp_t_ref,  # (1, 8, T) — transposed sample tile i
-    cand_pos_ref,  # (1, T, LANE) — source tile j rows
-    cand_feat_ref,  # (1, T, C) bf16 — source tile j features (pdf-weighted)
-    w1_ref,  # (8, H)
-    b1_ref,  # (H, 1)
-    w2_ref,  # depthwise (H, C) | full (H, C, CO)
-    b2_ref,  # depthwise (1, C) | full (C, CO)
-    _out_init,  # (1, T, C') zeros, aliased into out (never-visited tiles)
-    _cnt_init,  # (1, T, 1) zeros, aliased into cnt
-    out_ref,  # (1, T, C') — sample tile i, accumulated across its steps
-    cnt_ref,  # (1, T, 1)
+    *refs,
 ):
+    """``refs`` layout (G = spec.G):
+
+      i_ref (B, S) SMEM — sample-tile id per step (non-decreasing),
+      j_ref (B, S, G) SMEM — candidate source-tile ids (NTp = sentinel),
+      smp_t_ref (1, 8, T), G x cand_pos (1, T, LANE), G x cand_feat
+      (1, T, C) bf16, w1 (8, H), b1 (H, 1), w2, b2,
+      _out_init/_cnt_init (aliased zeros), out_ref (1, T, C'), cnt_ref
+      (1, T, 1) — accumulated across the tile's consecutive steps.
+    """
+    G = spec.G
+    i_ref, j_ref, smp_t_ref = refs[0], refs[1], refs[2]
+    pos_refs = refs[3 : 3 + G]
+    feat_refs = refs[3 + G : 3 + 2 * G]
+    (w1_ref, b1_ref, w2_ref, b2_ref, _out_init, _cnt_init, out_ref,
+     cnt_ref) = refs[3 + 2 * G :]
     step = pl.program_id(0)
     S = jnp.int32(spec.S)
     b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
@@ -187,8 +257,13 @@ def _fwd_kernel(
     first = (k == 0) | (i_cur != i_prev)
 
     smp_t = smp_t_ref[0]  # (8, T)
-    cand = cand_pos_ref[0]  # (T, 128)
-    d2 = _pair_d2(cand, smp_t)  # (T, T): candidates x samples
+    if G == 1:
+        cand = pos_refs[0][0]  # (T, 128)
+        fz_all = feat_refs[0][0]
+    else:
+        cand = jnp.concatenate([r[0] for r in pos_refs], axis=0)  # (G*T, 128)
+        fz_all = jnp.concatenate([r[0] for r in feat_refs], axis=0)
+    d2 = _pair_d2(cand, smp_t)  # (G*T, T): candidates x samples
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
     cnt = jnp.sum(maskf, axis=0)  # (T,)
 
@@ -204,13 +279,13 @@ def _fwd_kernel(
         )
         * inv_r
     )  # (H, T)
-    fz = cand_feat_ref[0]  # (T, C) bf16
+    fz = fz_all  # (G*T, C) bf16
 
     CO = spec.C if spec.CO is None else spec.CO
     acc = jnp.zeros((spec.T, CO), jnp.float32)
     for h in range(spec.H):
         pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
-        a_h = jnp.maximum(pre, 0.0) * maskf  # (T, T)
+        a_h = jnp.maximum(pre, 0.0) * maskf  # (G*T, T)
         g_h = _mm(a_h, fz, ((0,), (0,)))  # (T, C)
         if spec.CO is None:
             acc += g_h * w2_ref[h : h + 1, :]
@@ -235,23 +310,24 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     spec: _TSpec,
-    j_ref,  # (B, S) SMEM — source-tile id per step (non-decreasing)
-    i_ref,  # (B, S) SMEM — sample-tile id per step (NTs = sentinel)
-    src_t_ref,  # (1, 8, T) — transposed source tile j
-    src_feat_ref,  # (1, T, C) bf16 — source tile j features
-    smp_pos_ref,  # (1, T, LANE) — sample tile i rows
-    dout_ref,  # (1, T, C') — sample tile i cotangent rows
-    w1_ref,
-    b1_ref,
-    w2_ref,
-    b2_ref,
-    _dfeat_init,  # (1, T, C) zeros, aliased into dfeat (never-visited tiles)
-    dfeat_ref,  # (1, T, C) — source tile j, accumulated across its steps
-    dw1_ref,  # (8, H) accumulated across the whole grid
-    db1_ref,  # (H, 1)
-    dw2_ref,  # (H, C) | (H, C, CO)
-    db2_ref,  # (1, C) | (C, CO)
+    *refs,
 ):
+    """``refs`` layout (G = spec.G):
+
+      j_ref (B, S) SMEM — source-tile id per step (non-decreasing),
+      i_ref (B, S, G) SMEM — candidate sample-tile ids (NTs = sentinel),
+      src_t_ref (1, 8, T), src_feat_ref (1, T, C) bf16,
+      G x smp_pos (1, T, LANE), G x dout (1, T, C'),
+      w1, b1, w2, b2, _dfeat_init (aliased zeros),
+      dfeat_ref (1, T, C) — accumulated across the source tile's steps,
+      dw1 (8, H), db1 (H, 1), dw2, db2 — accumulated across the whole grid.
+    """
+    G = spec.G
+    j_ref, i_ref, src_t_ref, src_feat_ref = refs[:4]
+    smp_refs = refs[4 : 4 + G]
+    dout_refs = refs[4 + G : 4 + 2 * G]
+    (w1_ref, b1_ref, w2_ref, b2_ref, _dfeat_init, dfeat_ref, dw1_ref,
+     db1_ref, dw2_ref, db2_ref) = refs[4 + 2 * G :]
     step = pl.program_id(0)
     S = jnp.int32(spec.S)
     b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
@@ -267,8 +343,13 @@ def _bwd_kernel(
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     src_t = src_t_ref[0]  # (8, T)
-    q = smp_pos_ref[0]  # (T, 128) — lanes 3.. are zero by construction
-    d2 = _pair_d2(q, src_t)  # (T_q, T_p)
+    if G == 1:
+        q = smp_refs[0][0]  # (T, 128) — lanes 3.. zero by construction
+        dout_all = dout_refs[0][0]
+    else:
+        q = jnp.concatenate([r[0] for r in smp_refs], axis=0)  # (G*T, 128)
+        dout_all = jnp.concatenate([r[0] for r in dout_refs], axis=0)
+    d2 = _pair_d2(q, src_t)  # (G*T_q, T_p)
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
 
     inv_r = 1.0 / spec.radius
@@ -283,9 +364,9 @@ def _bwd_kernel(
         )
         * inv_r
     )  # (H, Tp)
-    dout = dout_ref[0]  # (Tq, C') f32
+    dout = dout_all  # (G*Tq, C') f32
     fz = src_feat_ref[0]  # (Tp, C) bf16
-    q8 = q[:, :W1_ROWS]  # (Tq, 8)
+    q8 = q[:, :W1_ROWS]  # (G*Tq, 8)
 
     acc = jnp.zeros((spec.T, spec.C), jnp.float32)
     for h in range(spec.H):
@@ -358,31 +439,32 @@ def _bwd_kernel(
 
 
 def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, j_ids):
-    S, T = spec.S, spec.T
+    S, T, G = spec.S, spec.T, spec.G
     CO = spec.C if spec.CO is None else spec.CO
 
     def ix_i(s, i, j):
         b = jax.lax.div(s, jnp.int32(S))
         return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
 
-    def ix_j(s, i, j):
-        b = jax.lax.div(s, jnp.int32(S))
-        return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+    def ix_jg(g):
+        def ix(s, i, j):
+            b = jax.lax.div(s, jnp.int32(S))
+            return (b, j[b, jax.lax.rem(s, jnp.int32(S)), g], 0)
+
+        return ix
 
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    n_in = 2 + 2 * G + 4 + 2  # prefetch + blocks + params + aliased inits
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B * S,),
-            in_specs=[
-                vm((1, 8, T), ix_i),
-                vm((1, T, LANE), ix_j),
-                vm((1, T, spec.C), ix_j),
-                vm(),
-                vm(),
-                vm(),
-                vm(),
+            in_specs=[vm((1, 8, T), ix_i)]
+            + [vm((1, T, LANE), ix_jg(g)) for g in range(G)]
+            + [vm((1, T, spec.C), ix_jg(g)) for g in range(G)]
+            + [vm(), vm(), vm(), vm()]
+            + [
                 vm((1, T, CO), ix_i),  # zero init for out (aliased)
                 vm((1, T, 1), ix_i),  # zero init for cnt (aliased)
             ],
@@ -392,11 +474,14 @@ def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, 
             jax.ShapeDtypeStruct((B, spec.NTs * T, CO), jnp.float32),
             jax.ShapeDtypeStruct((B, spec.NTs * T, 1), jnp.float32),
         ],
-        input_output_aliases={9: 0, 10: 1},  # zero inits -> never-visited tiles
+        # zero inits -> never-visited tiles keep exact zeros
+        input_output_aliases={n_in - 1: 0, n_in: 1},
         interpret=spec.interpret,
         compiler_params=_COMPILER_PARAMS,
     )(
-        i_ids, j_ids, smp_t, src_pos, src_feat, w1, b1, w2, b2,
+        i_ids, j_ids, smp_t,
+        *([src_pos] * G), *([src_feat] * G),
+        w1, b1, w2, b2,
         jnp.zeros((B, spec.NTs * T, CO), jnp.float32),
         jnp.zeros((B, spec.NTs * T, 1), jnp.float32),
     )
@@ -405,22 +490,26 @@ def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, 
 def _bwd_call(
     spec: _TSpec, B, src_t, src_feat, smp_pos, dout, w1, b1, w2, b2, jb_ids, ib_ids
 ):
-    S, T = spec.S, spec.T
+    S, T, G = spec.S, spec.T, spec.G
     CO = spec.C if spec.CO is None else spec.CO
 
     def ix_j(s, j, i):
         b = jax.lax.div(s, jnp.int32(S))
         return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
 
-    def ix_i(s, j, i):
-        b = jax.lax.div(s, jnp.int32(S))
-        return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
+    def ix_ig(g):
+        def ix(s, j, i):
+            b = jax.lax.div(s, jnp.int32(S))
+            return (b, i[b, jax.lax.rem(s, jnp.int32(S)), g], 0)
+
+        return ix
 
     const2 = lambda s, j, i: (0, 0)
     const3 = lambda s, j, i: (0, 0, 0)
     w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
     b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    dfeat_init_idx = 4 + 2 * G + 4  # index of the aliased zeros input
     dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -429,14 +518,11 @@ def _bwd_call(
             in_specs=[
                 vm((1, 8, T), ix_j),
                 vm((1, T, spec.C), ix_j),
-                vm((1, T, LANE), ix_i),
-                vm((1, T, CO), ix_i),
-                vm(),
-                vm(),
-                vm(),
-                vm(),
-                vm((1, T, spec.C), ix_j),  # zero init for dfeat (aliased)
-            ],
+            ]
+            + [vm((1, T, LANE), ix_ig(g)) for g in range(G)]
+            + [vm((1, T, CO), ix_ig(g)) for g in range(G)]
+            + [vm(), vm(), vm(), vm()]
+            + [vm((1, T, spec.C), ix_j)],  # zero init for dfeat (aliased)
             out_specs=[
                 vm((1, T, spec.C), ix_j),
                 vm((W1_ROWS, spec.H), const2),
@@ -452,11 +538,13 @@ def _bwd_call(
             jax.ShapeDtypeStruct(w2_shape, jnp.float32),
             jax.ShapeDtypeStruct(b2_shape, jnp.float32),
         ],
-        input_output_aliases={10: 0},
+        input_output_aliases={dfeat_init_idx: 0},
         interpret=spec.interpret,
         compiler_params=_COMPILER_PARAMS,
     )(
-        jb_ids, ib_ids, src_t, src_feat, smp_pos, dout, w1, b1, w2, b2,
+        jb_ids, ib_ids, src_t, src_feat,
+        *([smp_pos] * G), *([dout] * G),
+        w1, b1, w2, b2,
         jnp.zeros((B, spec.NTp * T, spec.C), jnp.float32),
     )
     return dfeat, dw1, db1, dw2, db2
@@ -544,7 +632,8 @@ def tile_mc_conv(
     radius: float,
     *,
     max_pairs: int,
-    tile: int = 256,
+    tile: int = DEFAULT_TILE,
+    chunk: int = DEFAULT_CHUNK,
     c_out: int | None = None,
     mean_normalize: bool = False,
     interpret: bool = False,
@@ -556,6 +645,9 @@ def tile_mc_conv(
     is the static per-cloud tile-pair capacity — size it with
     ``count_tile_pairs`` (pairs beyond it are dropped tile-by-tile from the
     high end of the sample range; always assert the count fits).
+    ``chunk`` groups that many candidate tiles per grid step ((chunk*T, T)
+    pair planes): fewer grid steps and taller MXU operands at the cost of
+    <= one partial chunk of padding per output tile.
     """
     B, M, _ = sample_pts.shape
     N = src_pts.shape[1]
@@ -600,18 +692,26 @@ def tile_mc_conv(
     ).astype(FEAT_DTYPE)
 
     adj = _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius)
-    S = min(max_pairs, nts * ntp)
-    # fwd list: sorted by sample tile; padding = (last sample tile, sentinel)
-    i_ids, j_ids = _pair_list(adj, S, nts - 1, ntp)
-    # bwd list: sorted by source tile; padding = (last source tile, sentinel)
-    jb_ids, ib_ids = _pair_list(jnp.swapaxes(adj, 1, 2), S, ntp - 1, nts)
+    G = chunk
+    # one static step count for both kernels; padding steps are
+    # (last real major tile, all-sentinel minors)
+    cap = min(max_pairs, nts * ntp)
+    S = max(
+        _steps_for_pairs(cap, G, nts, ntp), _steps_for_pairs(cap, G, ntp, nts)
+    )
+    # fwd list: sorted by sample tile
+    i_ids, j_ids = _chunked_pair_lists(adj, S, G, nts - 1, ntp)
+    # bwd list: sorted by source tile
+    jb_ids, ib_ids = _chunked_pair_lists(
+        jnp.swapaxes(adj, 1, 2), S, G, ntp - 1, nts
+    )
 
     smp_t = transposed_tiles(smp_rows[:, : nts * T], T)  # (B, nts*8, T)
     src_t = transposed_tiles(src_rows[:, : ntp * T], T)  # (B, ntp*8, T)
 
     spec = _TSpec(
         T=T, C=Cp, CO=COp, H=H, radius=radius, S=S, NTs=nts, NTp=ntp,
-        interpret=interpret,
+        interpret=interpret, G=G,
     )
 
     out_sorted, cnt = _tile_conv_core(
@@ -675,7 +775,7 @@ def tile_kde(
     radius: float,
     *,
     max_pairs: int,
-    tile: int = 256,
+    tile: int = DEFAULT_TILE,
     kde_window: float = 0.25,
     interpret: bool = False,
 ) -> Array:

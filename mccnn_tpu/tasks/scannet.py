@@ -281,6 +281,14 @@ def main(argv=None):
         "exchange over ICI) instead of training independent blocks",
     )
     p.add_argument("--halo-cap", type=int, default=1024)
+    p.add_argument(
+        "--tile-pairs",
+        type=int,
+        default=None,
+        help="static z-order tile-pair capacity: routes big-N conv/pdf sites "
+        "to the tile kernels (whole-scene single-chip path); size with "
+        "ops.pallas.count_tile_pairs on representative scenes",
+    )
     p.set_defaults(points=8192, batch=8)
     args = p.parse_args(argv)
 
@@ -307,6 +315,8 @@ def main(argv=None):
         kw["grow"] = args.grow
     if args.bn_decay_steps:
         kw["bn_schedule_steps"] = args.bn_decay_steps
+    if args.tile_pairs:
+        kw["tile_pairs"] = args.tile_pairs
     model = MCSeg(**kw)
 
     def loss_fn(logits, batch):

@@ -71,7 +71,8 @@ def test_tile_conv_matches_reference(rng, c_out):
     )
 
 
-def test_tile_conv_grads_match_reference(rng):
+@pytest.mark.parametrize("chunk", [1, 3])
+def test_tile_conv_grads_match_reference(rng, chunk):
     src, smp, feats, smask, qmask, pdf = setup(rng)
     radius = 0.25
     params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], None)
@@ -80,7 +81,7 @@ def test_tile_conv_grads_match_reference(rng):
     def loss_tile(p, f):
         o = tile_mc_conv(
             p, smp, qmask, src, smask, f, pdf, radius,
-            max_pairs=S, tile=TILE, interpret=True,
+            max_pairs=S, tile=TILE, chunk=chunk, interpret=True,
         )
         return jnp.sum(o * o)
 

@@ -99,7 +99,8 @@ def test_spatial_cache_pdf_tile_path(rng, monkeypatch):
         "tile_kde",
         lambda *a, **kw: real_tile_kde(*a, **{**kw, "interpret": True}),
     )
-    S = int(count_tile_pairs(pts, mask, pts, mask, radius, 256).max())
+    # count with the DEFAULT tile — tile_kde uses it too (counts are per-tile)
+    S = int(count_tile_pairs(pts, mask, pts, mask, radius).max())
     cache = SpatialCache(hier, neighbor_k=N, tile_pairs=S)
     got = cache.pdf(0, radius)
     want = pdf_mod.kde_density(pts, mask, radius)  # dense exact on CPU

@@ -5,6 +5,7 @@ from mccnn_tpu.core import init_mcconv_params
 from mccnn_tpu.ops.pallas.tile_conv import tile_mc_conv, count_tile_pairs
 
 T = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+G = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 B, N, C, radius = 1, 32768, 128, 0.05
 rng = np.random.default_rng(0)
 n = N
@@ -25,11 +26,12 @@ pdf = jnp.asarray(np.ones((B, N), np.float32))
 params = init_mcconv_params(jax.random.PRNGKey(0), C, None)
 
 S = int(count_tile_pairs(pts, mask, pts, mask, radius, tile=T).max())
-print(f"T={T} pairs={S} (grid steps fwd = {S})", flush=True)
+print(f"T={T} G={G} pairs={S}", flush=True)
 
 g = jax.jit(jax.grad(
     lambda p_, f: jnp.sum(tile_mc_conv(
-        p_, pts, mask, pts, mask, f, pdf, radius, max_pairs=S, tile=T) ** 2),
+        p_, pts, mask, pts, mask, f, pdf, radius, max_pairs=S, tile=T,
+        chunk=G) ** 2),
     argnums=(0, 1)))
 t0 = time.perf_counter(); jax.block_until_ready(g(params, feats)[1])
 print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -38,8 +40,8 @@ for _ in range(6):
     t0 = time.perf_counter(); jax.block_until_ready(g(params, feats)[1])
     best = min(best, time.perf_counter()-t0)
 t = best - 0.030
-print(f"T={T} full fwd+bwd: {best*1e3:.1f} ms raw; ~{t*1e3:.1f} ms net -> "
-      f"{N/t/1e6:.2f} Mpts/s", flush=True)
+print(f"T={T} G={G} full fwd+bwd: {best*1e3:.1f} ms raw; ~{t*1e3:.1f} ms net"
+      f" -> {N/t/1e6:.2f} Mpts/s", flush=True)
 
 # exact big-scene KDE via the same tile machinery
 from mccnn_tpu.ops.pallas import tile_kde

@@ -1,0 +1,85 @@
+"""Whole-scene MCSeg on one chip via the z-order tile backend (run on TPU).
+
+Builds a ScanNet-like 32k surface scene, sizes the tile-pair capacity, and
+runs a full MCSeg train step (hierarchy + tile convs + tile pdf + grads) on
+the WHOLE scene at once — no sliding blocks, no spatial sharding.
+
+Usage: python tools/exp_whole_scene.py [n_points] [tile_pairs_override]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def surface_scene(rng, n):
+    face = rng.integers(0, 5, size=n)
+    u, v = rng.uniform(0, 1, (2, n))
+    p = np.zeros((n, 3), np.float32)
+    for f_, arr in [(0, np.stack([u, v, np.zeros_like(u)], -1)),
+                    (1, np.stack([np.zeros_like(u), u, v], -1)),
+                    (2, np.stack([np.ones_like(u), u, v], -1)),
+                    (3, np.stack([u, np.zeros_like(u), v], -1)),
+                    (4, np.stack([u, np.ones_like(u), v], -1))]:
+        p[face == f_] = arr[face == f_]
+    p += rng.normal(0, 0.01, size=p.shape)
+    return np.clip(p, 0.0, 0.999).astype(np.float32)
+
+
+def main():
+    from mccnn_tpu.models import MCSeg
+    from mccnn_tpu.ops.pallas import count_tile_pairs
+    from mccnn_tpu.train import make_optimizer, init_state, make_train_step
+    from mccnn_tpu.train.losses import segmentation_loss, masked_accuracy
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(surface_scene(rng, N))[None]
+    mask = jnp.ones((1, N), bool)
+    labels = jnp.asarray(rng.integers(0, 8, size=(1, N)), jnp.int32)
+
+    # size the pair capacity on the level-0 conv radius (the tightest tiling);
+    # count at the DEFAULT tile — the layer stack's kernels use it
+    r0 = 0.05 * 2.0  # radii[0] * conv_radius_scale
+    S = int(count_tile_pairs(pts, mask, pts, mask, r0).max())
+    if len(sys.argv) > 2:
+        S = int(sys.argv[2])
+    print(f"N={N} tile_pairs={S}", flush=True)
+
+    model = MCSeg(n_classes=8, grow=16, radii=(0.05, 0.15, 0.4), tile_pairs=S)
+
+    def loss_fn(logits, batch):
+        return (
+            segmentation_loss(logits, batch["labels"], batch["mask"]),
+            {"acc": masked_accuracy(logits, batch["labels"], batch["mask"])},
+        )
+
+    batch = {"points": pts, "mask": mask, "labels": labels}
+    tx = make_optimizer(lr=1e-3)
+    t0 = time.perf_counter()
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+    print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
+    step = make_train_step(model, tx, loss_fn)
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    print(f"step compile+run: {time.perf_counter()-t0:.1f}s "
+          f"loss={float(m['loss']):.4f}", flush=True)
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        jax.block_until_ready(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    print(f"whole-scene train step: {best*1e3:.1f} ms raw "
+          f"(~{(best-0.030)*1e3:.1f} ms net) loss={float(m['loss']):.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,12 +23,20 @@ sys.path.insert(0, ".")
 def chain_diff(fn, carrier, n_short=8, n_long=40, repeats=3):
     import jax
 
+    import jax.numpy as jnp
+
     @functools.partial(jax.jit, static_argnums=1)
     def chained(c, n):
         def body(c, _):
-            return jax.tree.map(
-                lambda a, b: a + 1e-9 * b, c, fn(c)
-            ), 0
+            # perturb float leaves to keep a true data dependence between
+            # iterations; integer/uint leaves (step counters, rng keys) pass
+            # through the new value unchanged (dtype must round-trip the scan)
+            def mix(a, b):
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+                    return a + 1e-9 * b
+                return b
+
+            return jax.tree.map(mix, c, fn(c)), 0
 
         o, _ = jax.lax.scan(body, c, None, length=n)
         return jax.tree.map(lambda x: x.sum(), o)
