@@ -205,3 +205,43 @@ def test_parity_harness_synthetic(tmp_path):
     assert v["proxy"] is True
     assert 0.0 <= v["accuracy"] <= 1.0
     assert isinstance(v["pass"], bool)
+
+
+def test_scannet_whole_scene_tile_eval_plumbing():
+    """predict_scene_tile / evaluate_whole_scenes numpy plumbing (padding,
+    masking, unpadding, per-scene IoU) with a mocked runner — the tile
+    kernels themselves are parity-tested in test_tile_conv.py."""
+    import numpy as np
+    from mccnn_tpu.tasks import scannet
+
+    n_classes, cap = 4, 256
+    rng = np.random.default_rng(0)
+    scenes = [rng.uniform(0, 1, size=(n, 3)).astype(np.float32) for n in (200, 131)]
+    # label = x-quartile; the mock predicts from the normalized points, so
+    # predictions are perfect and mIoU must be 1.0
+    def lab_of(p):
+        from mccnn_tpu.data.datasets import _normalize_np
+        q = _normalize_np(p)[:, 0]
+        return np.clip((q * n_classes).astype(np.int32), 0, n_classes - 1)
+
+    labels = [lab_of(s) for s in scenes]
+
+    class MockRunner:
+        def eval_logits(self, batch):
+            pts, mask = batch["points"], batch["mask"]
+            lab = np.clip((pts[..., 0] * n_classes).astype(np.int32), 0, n_classes - 1)
+            out = np.eye(n_classes, dtype=np.float32)[lab]
+            return np.where(mask[..., None], out, 0.0)
+
+    class Src:
+        pass
+
+    src = Src()
+    src.scenes, src.labels = scenes, labels
+
+    pred = scannet.predict_scene_tile(MockRunner(), scenes[0], cap)
+    assert pred.shape == (200,)
+    np.testing.assert_array_equal(pred, labels[0])
+
+    res = scannet.evaluate_whole_scenes(MockRunner(), src, cap, n_classes)
+    assert res["mIoU"] == 1.0 and res["point_accuracy"] == 1.0
