@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.mcconv import MCConvParams
 from .mcconv_kernel import (
+    _COMPILER_PARAMS,
     CNT_LANE,
     FEAT_DTYPE,
     LANE,
@@ -291,6 +292,7 @@ def _fwd_call(spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2):
             jax.ShapeDtypeStruct((B, spec.M, 1), jnp.float32),
         ],
         interpret=spec.interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(smp_t, src_pos, src_feat, w1, b1, w2, b2)
     return out, cnt
 
@@ -333,6 +335,7 @@ def _bwd_call(spec, B, src_t, smp_meta, dout, src_feat, w1, b1, w2, b2):
             jax.ShapeDtypeStruct(b2_shape, jnp.float32),
         ],
         interpret=spec.interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(src_t, smp_meta, dout, src_feat, w1, b1, w2, b2)
     return dfeat, dw1, db1, dw2, db2
 

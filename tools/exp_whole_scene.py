@@ -63,7 +63,7 @@ def main():
     t0 = time.perf_counter()
     state = init_state(model, tx, jax.random.PRNGKey(0), batch)
     print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
-    step = make_train_step(model, tx, loss_fn)
+    step = jax.jit(make_train_step(model, tx, loss_fn), donate_argnums=0)
 
     t0 = time.perf_counter()
     state, m = step(state, batch)
