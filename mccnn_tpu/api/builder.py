@@ -92,13 +92,16 @@ class SpatialCache:
                 and lvl.points.shape[1] > DENSE_KDE_MAX_N
             ):
                 # big-scene EXACT density via the z-order tile kernel (no
-                # K-capacity truncation) — same capacity knob as the conv
+                # K-capacity truncation). The tuned capacity is sized for
+                # level 0; deeper levels run lossless (full bound) so the
+                # one knob can never silently drop pairs there.
+                pairs = self.tile_pairs if level == 0 else (1 << 30)
                 self._pdf[key] = kde_density(
                     lvl.points,
                     lvl.mask,
                     float(radius),
                     kde_window=self.kde_window,
-                    tile_pairs=self.tile_pairs,
+                    tile_pairs=pairs,
                 )
                 return self._pdf[key]
             nbh = None

@@ -77,9 +77,17 @@ class MCConv(nn.Module):
                     "it with ops.pallas.count_tile_pairs on representative "
                     "data"
                 )
+            # The tuned capacity is sized for LEVEL-0 sites (the only place
+            # the full tile-pair bound is large). Deeper levels run LOSSLESS
+            # (max_pairs = their full bound, a few hundred chunked steps) so
+            # one global knob can never silently drop pairs there.
+            if in_level == 0 or out_level == 0:
+                max_pairs = cache.tile_pairs
+            else:
+                max_pairs = 1 << 30  # min()'d to nts*ntp inside
             out = tile_mc_conv(
                 params, dst.points, dst.mask, src.points, src.mask,
-                features, pdf, radius, max_pairs=cache.tile_pairs,
+                features, pdf, radius, max_pairs=max_pairs,
                 c_out=self.c_out, mean_normalize=mean_norm,
             )
         elif backend == "dense":
