@@ -67,7 +67,10 @@ class MCConv(nn.Module):
         )
         # usePDF=False mode (reference flag): plain neighborhood mean
         mean_norm = not self.use_pdf
-        backend = pick_backend(src.points.shape[1], radius, self.c_in, self.c_out)
+        backend = pick_backend(
+            src.points.shape[1], radius, self.c_in, self.c_out,
+            n_samples=dst.points.shape[1],
+        )
         if backend == "bucket" and cache.tile_pairs is not None:
             backend = "tile"  # z-order tiles beat buckets at big-scene scale
         if backend == "tile":

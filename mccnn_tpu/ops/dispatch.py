@@ -36,7 +36,11 @@ def conv_backend() -> str:
 
 
 def pick_backend(
-    n_sources: int, radius: float, c_in: int, c_out: int | None
+    n_sources: int,
+    radius: float,
+    c_in: int,
+    c_out: int | None,
+    n_samples: int | None = None,
 ) -> str:
     mode = conv_backend()
     if mode != "auto":
@@ -46,7 +50,16 @@ def pick_backend(
     from .pallas.dense_conv import DENSE_MAX_N
 
     c_eff = max(c_in, c_out or 0, 128)
-    if n_sources <= DENSE_MAX_N and n_sources * c_eff <= 3072 * 256:
+    # The dense BACKWARD holds the full sample meta + dout in VMEM and its
+    # pair planes scale with the sample count — an upsampling site with few
+    # sources but a huge sample side must not pick dense (observed: 289 MB
+    # of VMEM at a 2k-source -> 16k-sample decoder conv).
+    m = n_sources if n_samples is None else n_samples
+    if (
+        n_sources <= DENSE_MAX_N
+        and n_sources * c_eff <= 3072 * 256
+        and m * c_eff <= 8192 * 128
+    ):
         return "dense"
     if math.ceil(1.0 / radius) >= 4:
         return "bucket"
