@@ -51,6 +51,11 @@ def main():
         "--only", default=None, choices=("1k", "4k", "32k", "model"),
         help="run a single section (each TPU compile is slow here)",
     )
+    ap.add_argument(
+        "--full", action="store_true",
+        help="include the 32k bucket-kernel variants (5-10 min compiles "
+        "each; the z-tile kernel supersedes them — see docs/ROOFLINE.md)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -94,6 +99,7 @@ def main():
     def bench_config(
         B, N, C, radius, tag, cap=16, jnp_path=True, aux=True, surface=False,
         n_short=8, n_long=40, active_bricks=False, tile_path=False,
+        bucket_path=True,
     ):
         if surface:
             pts = jnp.asarray(np.stack([surface_scene(N) for _ in range(B)]))
@@ -119,24 +125,9 @@ def main():
 
             return chain_time(step, feats, n_short=n_short, n_long=n_long)
 
-        if N <= 4096:
-            t = fb(lambda p, f: dense_mc_conv(p, pts, mask, pts, mask, f, pdf, radius))
-            emit(f"conv dense fwd+bwd {tag}", t, mpts / t)
-        grid = build_buckets(pts, mask, radius, cap=cap)
-        assert int(grid.overflow.sum()) == 0, "raise cap for this config"
-        t = fb(lambda p, f: bucket_mc_conv(p, grid, mask, grid, f, pdf))
-        emit(f"conv bucket fwd+bwd {tag}", t, mpts / t)
-        if active_bricks:
-            from mccnn_tpu.ops.pallas.mcconv_kernel import count_active_bricks
-
-            nba = int(count_active_bricks(grid).max())
-            t = fb(
-                lambda p, f: bucket_mc_conv(
-                    p, grid, mask, grid, f, pdf, max_active_bricks=nba
-                )
-            )
-            emit(f"conv bucket-active({nba}) fwd+bwd {tag}", t, mpts / t)
         if tile_path:
+            # first: the big-scene WINNER (fast compiles) so time-bounded
+            # runs still produce the headline number
             from mccnn_tpu.ops.pallas import count_tile_pairs, tile_mc_conv
 
             S = int(count_tile_pairs(pts, mask, pts, mask, radius).max())
@@ -146,6 +137,26 @@ def main():
                 )
             )
             emit(f"conv z-tile({S}) fwd+bwd {tag}", t, mpts / t)
+        if N <= 4096:
+            t = fb(lambda p, f: dense_mc_conv(p, pts, mask, pts, mask, f, pdf, radius))
+            emit(f"conv dense fwd+bwd {tag}", t, mpts / t)
+        if bucket_path:
+            # big-scene bucket configs take 5-10 min PER chained compile —
+            # see docs/ROOFLINE.md for their measured shoot-out numbers
+            grid = build_buckets(pts, mask, radius, cap=cap)
+            assert int(grid.overflow.sum()) == 0, "raise cap for this config"
+            t = fb(lambda p, f: bucket_mc_conv(p, grid, mask, grid, f, pdf))
+            emit(f"conv bucket fwd+bwd {tag}", t, mpts / t)
+        if bucket_path and active_bricks:
+            from mccnn_tpu.ops.pallas.mcconv_kernel import count_active_bricks
+
+            nba = int(count_active_bricks(grid).max())
+            t = fb(
+                lambda p, f: bucket_mc_conv(
+                    p, grid, mask, grid, f, pdf, max_active_bricks=nba
+                )
+            )
+            emit(f"conv bucket-active({nba}) fwd+bwd {tag}", t, mpts / t)
         if jnp_path:
             nbh = radius_neighbors(pts, mask, pts, mask, radius, 32)
             t = fb(lambda p, f: mc_conv(p, pts, nbh, pts, f, pdf))
@@ -171,7 +182,7 @@ def main():
         bench_config(
             1, 32768, 128, 0.05, "B1 N32k C128 surface", cap=64,
             jnp_path=False, aux=False, surface=True, n_short=2, n_long=10,
-            active_bricks=True, tile_path=True,
+            active_bricks=True, tile_path=True, bucket_path=args.full,
         )
     if only == "32k":
         return
