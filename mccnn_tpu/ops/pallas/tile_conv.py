@@ -149,7 +149,11 @@ def _chunked_pair_lists(adj, S_steps, G, pad_major, sentinel_minor):
     """Chunked step list over ``adj`` (B, n_major, n_minor): each step is one
     major tile plus up to ``G`` of its true minors. Returns ``major``
     (B, S_steps) — non-decreasing, padded with ``pad_major`` — and ``minors``
-    (B, S_steps, G) padded with ``sentinel_minor``."""
+    (B, G, S_steps) padded with ``sentinel_minor``.
+
+    Minors are laid out G-major: SMEM arrays lane-pad their LAST dim to 128,
+    so (S, G) would cost S*128 ints (observed 1.87 MB > the 1 MB SMEM at a
+    40960-point scene); (G, S) costs G*S."""
     B, n_major, n_minor = adj.shape
     # compact each row's true minors to the front (stable: ascending ids)
     order = jnp.argsort(~adj, axis=-1, stable=True).astype(jnp.int32)
@@ -191,7 +195,7 @@ def _chunked_pair_lists(adj, S_steps, G, pad_major, sentinel_minor):
             minors, ((0, 0), (0, S_steps - L), (0, 0)),
             constant_values=sentinel_minor,
         )
-    return major, minors
+    return major, jnp.swapaxes(minors, 1, 2)  # (B, G, S)
 
 
 def _steps_for_pairs(max_pairs, G, n_major, n_minor):
@@ -237,7 +241,7 @@ def _fwd_kernel(
     """``refs`` layout (G = spec.G):
 
       i_ref (B, S) SMEM — sample-tile id per step (non-decreasing),
-      j_ref (B, S, G) SMEM — candidate source-tile ids (NTp = sentinel),
+      j_ref (B, G, S) SMEM — candidate source-tile ids (NTp = sentinel),
       smp_t_ref (1, 8, T), G x cand_pos (1, T, LANE), G x cand_feat
       (1, T, C) bf16, w1 (8, H), b1 (H, 1), w2, b2,
       _out_init/_cnt_init (aliased zeros), out_ref (1, T, C'), cnt_ref
@@ -315,7 +319,7 @@ def _bwd_kernel(
     """``refs`` layout (G = spec.G):
 
       j_ref (B, S) SMEM — source-tile id per step (non-decreasing),
-      i_ref (B, S, G) SMEM — candidate sample-tile ids (NTs = sentinel),
+      i_ref (B, G, S) SMEM — candidate sample-tile ids (NTs = sentinel),
       src_t_ref (1, 8, T), src_feat_ref (1, T, C) bf16,
       G x smp_pos (1, T, LANE), G x dout (1, T, C'),
       w1, b1, w2, b2, _dfeat_init (aliased zeros),
@@ -449,7 +453,7 @@ def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, 
     def ix_jg(g):
         def ix(s, i, j):
             b = jax.lax.div(s, jnp.int32(S))
-            return (b, j[b, jax.lax.rem(s, jnp.int32(S)), g], 0)
+            return (b, j[b, g, jax.lax.rem(s, jnp.int32(S))], 0)
 
         return ix
 
@@ -500,7 +504,7 @@ def _bwd_call(
     def ix_ig(g):
         def ix(s, j, i):
             b = jax.lax.div(s, jnp.int32(S))
-            return (b, i[b, jax.lax.rem(s, jnp.int32(S)), g], 0)
+            return (b, i[b, g, jax.lax.rem(s, jnp.int32(S))], 0)
 
         return ix
 
