@@ -47,16 +47,20 @@ LAST_VERIFIED = {
     # Metric name carries the _stale suffix so no consumer can mistake the
     # fallback for a live measurement (ADVICE r1); bench also exits nonzero.
     "metric": "mcconv_depthwise_fwdbwd_throughput_stale",
-    "value": 5.3,
+    "value": 10.9,
     "unit": "Mpoints/s/chip",
-    "vs_baseline": 0.18,
+    "vs_baseline": 0.36,
     "stale": True,
-    "note": "STALE: TPU tunnel down at bench time; value from the last "
-    "successful on-chip run (dense kernel, 1.547 ms/layer)",
+    "note": "STALE: TPU unreachable at bench time; value from the last "
+    "successful on-chip run (2026-08-17, dense kernel, 0.749 ms/layer "
+    "full fwd+bwd, chain-difference timing)",
 }
 
 
-def _tpu_reachable(timeout_s: int = 150) -> bool:
+def _tpu_reachable(timeout_s: int = 420) -> bool:
+    # The remote compile helper intermittently stalls for minutes even when
+    # the chip is healthy (ROUND2.md incidents) — a short probe mislabels a
+    # live chip as unreachable.
     """Probe the TPU in a subprocess (backend init hangs when the tunnel is
     down, so the probe must be killable)."""
     try:
