@@ -26,6 +26,7 @@ in-radius neighbors).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -250,6 +251,246 @@ def _bwd_kernel(
 
 
 # ----------------------------------------------------------------------------
+# Batched (v2) kernels.
+#
+# The round-2 kernel interleaved VPU plane generation with 9 (fwd) / 26 (bwd)
+# SMALL matmuls per grid step. Here the per-h loop ONLY writes pair planes
+# into a stacked ((H+1)*rows, TILE) bf16 VMEM scratch (block H = the radius
+# mask, which carries the h-independent b2 term), and the MXU work is
+# restructured around per-h FEATURE/COTANGENT copies built once per cloud
+# into persistent scratch (they don't depend on the grid step):
+#
+#   fwd:  out = sum_h a_h^T (f*w2_h) + mask^T (f*b2) = Abig^T @ Fcat
+#         with Fcat = stack_h[f*w2_h] ++ [f*b2] — ONE (H+1)N-deep matmul.
+#   bwd:  X_h = a_h^T @ invdout  (H+1 well-shaped matmuls) serves BOTH
+#           dfeat = sum_h X_h*w2_h + X_H*b2  and  dw2_h = sum_p f ⊙ X_h;
+#         D = Tbig @ f^T with Tbig = stack_h[invdout*w2_h] feeds dw1/db1 via
+#           dpre = D * (Abig>0) — relu mask recovered from the stored plane
+#           (v1's separate relu_on plane is gone; compare runs in f32).
+#
+# (CO != None generalizes: Fcat_h = f @ w2_h, Tbig_h = invdout @ w2_h^T,
+# dfeat/dw2 via small per-h matmuls on X_h.)
+#
+# Measured on-chip (B=8, N=M=1024, C=128, fwd+bwd, 2026-08-17): 0.745 ms
+# (v1) -> 0.606 ms. Forward is VPU/MXU-serialized at ~0.22 ms (matmul floor
+# 0.117 + plane VPU ~0.09; no co-issue observed) — see docs/ROUND3.md.
+# ----------------------------------------------------------------------------
+
+_NEG = -1.0e9  # additive out-of-radius penalty: relu(pre + _NEG) == 0
+
+
+def _plane_fill(spec, rows, cand, other_t, w1_ref, b1t, sign, abig_ref, pen,
+                maskf):
+    """Write the (H+1) stacked pair planes for this grid step.
+
+    ``pre_h = sign * (cand . w1_h - other_t . w1_h) + b1_h`` with the
+    out-of-radius penalty folded in additively (no per-h mask multiply).
+    Planes are stored in bf16 (the matmuls consume bf16 anyway — an f32
+    scratch would pay an extra full-plane cast at every matmul use) but
+    COMPUTED in f32: the relu boundary sits on a cancellation ``cw - owT`` of
+    O(1) operands, and bf16 arithmetic there moves the boundary by ~eps(bf16)
+    ≈ 0.004, visibly corrupting dw1 (measured: 3x relative error)."""
+    inv_r = 1.0 / spec.radius
+    cw = (
+        jnp.dot(cand[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * (sign * inv_r)
+        + b1t
+    )  # (rows_axis, H), b1 folded
+    owT = (
+        jax.lax.dot_general(
+            w1_ref[:], other_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * (sign * inv_r)
+    )  # (H, TILE)
+    for h in range(spec.H):
+        pre = cw[:, h : h + 1] - owT[h : h + 1, :] + pen
+        abig_ref[h * rows : (h + 1) * rows, :] = jnp.maximum(pre, 0.0).astype(
+            FEAT_DTYPE
+        )
+    abig_ref[spec.H * rows :, :] = maskf.astype(FEAT_DTYPE)
+
+
+def _fwd_kernel_b(
+    spec: _DSpec,
+    n_tiles: int,
+    smp_t_ref,  # (1, 8, TILE)
+    src_pos_ref,  # (1, N, 128) f32 VMEM (full)
+    src_feat_ref,  # (1, N, C') bf16 VMEM (full)
+    w1_ref,  # (8, H)
+    b1t_ref,  # (1, H)
+    w2_ref,  # (H, C') | (H, C', CO')
+    b2_ref,  # (1, C') | (C', CO')
+    out_ref,  # (1, TILE, CO')
+    cnt_ref,  # (1, TILE, 1)
+    abig_ref,  # ((H+1)*N, TILE) bf16 scratch
+    fcat_ref,  # ((H+1)*N, CO') bf16 scratch — built on each cloud's 1st step
+):
+    step = pl.program_id(0)
+
+    @pl.when(jax.lax.rem(step, jnp.int32(n_tiles)) == 0)
+    def _build_fcat():
+        # fold w2/b2 into per-h feature copies (constant across the cloud's
+        # sample tiles — scratch persists between grid steps)
+        fz = src_feat_ref[0]  # (N, C') bf16
+        N, H = spec.N, spec.H
+        for h in range(H):
+            if spec.CO is None:
+                fcat_ref[h * N : (h + 1) * N, :] = (
+                    fz * w2_ref[h : h + 1, :].astype(FEAT_DTYPE)
+                )
+            else:
+                fcat_ref[h * N : (h + 1) * N, :] = jnp.dot(
+                    fz, w2_ref[h].astype(FEAT_DTYPE),
+                    preferred_element_type=jnp.float32,
+                ).astype(FEAT_DTYPE)
+        if spec.CO is None:
+            fcat_ref[H * N :, :] = fz * b2_ref[:].astype(FEAT_DTYPE)
+        else:
+            fcat_ref[H * N :, :] = jnp.dot(
+                fz, b2_ref[:].astype(FEAT_DTYPE),
+                preferred_element_type=jnp.float32,
+            ).astype(FEAT_DTYPE)
+
+    smp_t = smp_t_ref[0]
+    cand = src_pos_ref[0]  # (N, 128)
+    d2 = _pair_d2(cand, smp_t)  # (N, TILE)
+    maskb = d2 <= spec.radius * spec.radius
+    maskf = maskb.astype(jnp.float32)
+    cnt = jnp.sum(maskf, axis=0)
+    pen = jnp.where(maskb, 0.0, _NEG)
+    # fwd orientation: offset = cand_p - smp_s => cand carries +, sample -
+    _plane_fill(
+        spec, spec.N, cand, smp_t, w1_ref, b1t_ref[:], 1.0, abig_ref, pen,
+        maskf,
+    )
+    acc = _mm(abig_ref[:], fcat_ref[:], ((0,), (0,)))  # (TILE, CO')
+    if spec.mean_norm:
+        inv = 1.0 / jnp.maximum(cnt, 1.0)
+        acc = acc * inv[:, None]
+    out_ref[0] = acc
+    cnt_ref[0] = cnt[:, None]
+
+
+def _bwd_kernel_b(
+    spec: _DSpec,
+    n_tiles: int,
+    src_t_ref,  # (1, 8, TILE) — this tile of sources, transposed
+    smp_pos_ref,  # (1, M, 128) f32 VMEM (full)
+    invdout_ref,  # (1, M, CO') bf16 VMEM (full) — dout * 1/cnt (or dout)
+    src_feat_ref,  # (1, TILE, C') bf16 — THIS tile's weighted features
+    w1_ref,  # (8, H)
+    b1t_ref,  # (1, H)
+    w2_ref,  # (H, C') | (H, C', CO')
+    b2_ref,  # (1, C') | (C', CO')
+    dfeat_ref,  # (1, TILE, C')
+    dw1_ref,  # (8, H) accumulated across grid steps
+    db1_ref,  # (H, 1)
+    dw2_ref,  # (H, C') | (H, C', CO')
+    db2_ref,  # (1, C') | (C', CO')
+    abig_ref,  # ((H+1)*M, TILE) bf16 scratch
+    tbig_ref,  # (H*M, C') bf16 scratch — built on each cloud's 1st step
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    H, M = spec.H, spec.M
+
+    @pl.when(jax.lax.rem(step, jnp.int32(n_tiles)) == 0)
+    def _build_tbig():
+        # only the H dw1 planes need t_h = invdout * w2_h; the b2 term's
+        # dfeat/db2 contributions come out of the Xh loop below
+        iv = invdout_ref[0]  # (M, CO') bf16
+        for h in range(H):
+            if spec.CO is None:
+                tbig_ref[h * M : (h + 1) * M, :] = iv * w2_ref[
+                    h : h + 1, :
+                ].astype(FEAT_DTYPE)
+            else:
+                tbig_ref[h * M : (h + 1) * M, :] = jax.lax.dot_general(
+                    iv,
+                    w2_ref[h].astype(FEAT_DTYPE),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(FEAT_DTYPE)
+    src_t = src_t_ref[0]  # (8, TILE)
+    q = smp_pos_ref[0]  # (M, 128)
+    d2 = _pair_d2(q, src_t)  # (M, TILE)
+    maskb = d2 <= spec.radius * spec.radius
+    pen = jnp.where(maskb, 0.0, _NEG)
+    # bwd orientation: offset = src_p - smp_q => sample carries -, src +
+    _plane_fill(
+        spec, M, q, src_t, w1_ref, b1t_ref[:], -1.0, abig_ref, pen,
+        maskb.astype(jnp.float32),
+    )
+    A = abig_ref[:]  # ((H+1)M, TILE) bf16
+    fz = src_feat_ref[0]  # (TILE, C') bf16
+    ivd = invdout_ref[0]  # (M, CO') bf16
+    fzf = fz.astype(jnp.float32)
+
+    # Xh scheme: X_h = a_h^T @ invdout carries BOTH the dfeat contribution
+    # (X_h * w2_h summed over h) and the dw2_h contribution (sum_p fz ⊙ X_h)
+    # — one 604 MF matmul family instead of the two (dfeat-direct + G) of
+    # the first batched version: backward MXU FLOPs down 35 %.
+    acc = jnp.zeros((TILE, spec.C), jnp.float32)  # dfeat
+    for h in range(H + 1):
+        blk = A[h * M : (h + 1) * M, :]  # (M, TILE) bf16
+        X = jax.lax.dot_general(
+            blk, ivd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE, CO')
+        if spec.CO is None:
+            row = w2_ref[h : h + 1, :] if h < H else b2_ref[:]
+            acc += X * row
+            s = jnp.sum(fzf * X, axis=0, keepdims=True)  # (1, C)
+            if h < H:
+                dw2_ref[h : h + 1, :] += s
+            else:
+                db2_ref[:] += s
+        else:
+            wmat = w2_ref[h] if h < H else b2_ref[:]  # (C, CO)
+            acc += jax.lax.dot_general(
+                X, wmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE, C)
+            g = jax.lax.dot_general(
+                fzf, X, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, CO)
+            if h < H:
+                dw2_ref[h] += g
+            else:
+                db2_ref[:] += g
+    dfeat_ref[0] = acc
+
+    D = _mm(tbig_ref[: H * M, :], fz, ((1,), (1,)))  # (HM, TILE)
+    # relu mask recovered from the stored plane; the compare runs in f32
+    # (Mosaic rejects bf16 cmpf — CLAUDE.md)
+    relu_on = A[: H * M, :].astype(jnp.float32) > 0.0
+    dpre = D * relu_on.astype(jnp.float32)
+    d3 = dpre.reshape(H, M, TILE)
+    rq = jnp.sum(d3, axis=2)  # (H, M)
+    rp = jnp.sum(d3, axis=1)  # (H, TILE)
+    t_smp = jax.lax.dot_general(
+        q[:, :W1_ROWS], rq, (((0,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32,
+    )  # (8, H)
+    t_src = jax.lax.dot_general(
+        src_t, rp, (((1,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32,
+    )  # (8, H)
+    inv_r = 1.0 / spec.radius
+    dw1_ref[:] += (t_src - t_smp) * inv_r
+    db1_ref[:] += jnp.sum(rp, axis=1, keepdims=True)
+
+
+# ----------------------------------------------------------------------------
 # pallas_call wrappers
 # ----------------------------------------------------------------------------
 
@@ -340,34 +581,135 @@ def _bwd_call(spec, B, src_t, smp_meta, dout, src_feat, w1, b1, w2, b2):
     return dfeat, dw1, db1, dw2, db2
 
 
+def _fwd_call_b(spec, B, smp_t, src_pos, src_feat, w1, b1t, w2, b2):
+    n_tiles = spec.M // TILE
+    ix = _tile_ix(n_tiles)
+    full = lambda s: (ix(s)[0], 0, 0)
+    CO = spec.C if spec.CO is None else spec.CO
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    out, cnt = pl.pallas_call(
+        functools.partial(_fwd_kernel_b, spec, n_tiles),
+        grid=(B * n_tiles,),
+        in_specs=[
+            vm((1, 8, TILE), ix),
+            vm((1, spec.N, LANE), full),
+            vm((1, spec.N, spec.C), full),
+            vm(),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[vm((1, TILE, CO), ix), vm((1, TILE, 1), ix)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, spec.M, CO), jnp.float32),
+            jax.ShapeDtypeStruct((B, spec.M, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(((spec.H + 1) * spec.N, TILE), FEAT_DTYPE),
+            pltpu.VMEM(((spec.H + 1) * spec.N, CO), FEAT_DTYPE),
+        ],
+        interpret=spec.interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(smp_t, src_pos, src_feat, w1, b1t, w2, b2)
+    return out, cnt
+
+
+def _bwd_call_b(spec, B, src_t, smp_pos, invdout, src_feat, w1, b1t, w2, b2):
+    n_tiles = spec.N // TILE
+    ix = _tile_ix(n_tiles)
+    full = lambda s: (ix(s)[0], 0, 0)
+    CO = spec.C if spec.CO is None else spec.CO
+    const2 = lambda s: (0, 0)
+    const3 = lambda s: (0, 0, 0)
+    w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
+    b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel_b, spec, n_tiles),
+        grid=(B * n_tiles,),
+        in_specs=[
+            vm((1, 8, TILE), ix),
+            vm((1, spec.M, LANE), full),
+            vm((1, spec.M, CO), full),
+            vm((1, TILE, spec.C), ix),
+            vm(),
+            vm(),
+            vm(),
+            vm(),
+        ],
+        out_specs=[
+            vm((1, TILE, spec.C), ix),
+            vm((W1_ROWS, spec.H), const2),
+            vm((spec.H, 1), const2),
+            vm(w2_shape, const2 if spec.CO is None else const3),
+            vm(b2_shape, const2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, spec.N, spec.C), jnp.float32),
+            jax.ShapeDtypeStruct((W1_ROWS, spec.H), jnp.float32),
+            jax.ShapeDtypeStruct((spec.H, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2_shape, jnp.float32),
+            jax.ShapeDtypeStruct(b2_shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(((spec.H + 1) * spec.M, TILE), FEAT_DTYPE),
+            pltpu.VMEM((spec.H * spec.M, spec.C), FEAT_DTYPE),
+        ],
+        interpret=spec.interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(src_t, smp_pos, invdout, src_feat, w1, b1t, w2, b2)
+    return dfeat, dw1, db1, dw2, db2
+
+
 # ----------------------------------------------------------------------------
 # custom_vjp + public wrapper
 # ----------------------------------------------------------------------------
 
 
+# v1 (per-h small matmuls) kept as a fallback: MCCNN_DENSE_V1=1
+_USE_V1 = os.environ.get("MCCNN_DENSE_V1") == "1"
+
+
+def _run_fwd(spec, w1, b1, w2, b2, smp_t, src_pos, src_feat):
+    B = smp_t.shape[0]
+    if _USE_V1:
+        return _fwd_call(spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2)
+    b1t = b1.reshape(1, spec.H)
+    return _fwd_call_b(spec, B, smp_t, src_pos, src_feat, w1, b1t, w2, b2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _dense_core(spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat):
-    out, _ = _fwd_call(
-        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
-    )
+    out, _ = _run_fwd(spec, w1, b1, w2, b2, smp_t, src_pos, src_feat)
     return out
 
 
 def _core_fwd(spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat):
-    out, cnt = _fwd_call(
-        spec, smp_t.shape[0], smp_t, src_pos, src_feat, w1, b1, w2, b2
-    )
+    out, cnt = _run_fwd(spec, w1, b1, w2, b2, smp_t, src_pos, src_feat)
     return out, (w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat, cnt)
 
 
 def _core_bwd(spec, res, dout):
     w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat, cnt = res
     B = smp_t.shape[0]
-    is_cnt = jax.lax.broadcasted_iota(jnp.int32, smp_pos.shape, 2) == CNT_LANE
-    smp_meta = jnp.where(is_cnt, cnt, smp_pos)
-    dfeat, dw1, db1, dw2, db2 = _bwd_call(
-        spec, B, src_t, smp_meta, dout, src_feat, w1, b1, w2, b2
-    )
+    if _USE_V1:
+        is_cnt = (
+            jax.lax.broadcasted_iota(jnp.int32, smp_pos.shape, 2) == CNT_LANE
+        )
+        smp_meta = jnp.where(is_cnt, cnt, smp_pos)
+        dfeat, dw1, db1, dw2, db2 = _bwd_call(
+            spec, B, src_t, smp_meta, dout, src_feat, w1, b1, w2, b2
+        )
+    else:
+        if spec.mean_norm:
+            invdout = dout * jnp.where(cnt >= 1.0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+        else:
+            invdout = dout  # garbage rows carry zero cotangent already
+        b1t = b1.reshape(1, spec.H)
+        dfeat, dw1, db1, dw2, db2 = _bwd_call_b(
+            spec, B, src_t, smp_pos, invdout.astype(FEAT_DTYPE), src_feat,
+            w1, b1t, w2, b2,
+        )
     return (
         dw1,
         db1,
