@@ -47,6 +47,14 @@ class SpatialCache:
     _nbh: dict = field(default_factory=dict)
     _pdf: dict = field(default_factory=dict)
     _buckets: dict = field(default_factory=dict)
+    # Traced per-cloud dropped-pair counts from tile-backend queries built by
+    # this cache (pdf path). Conv layers drain these into their diagnostics
+    # so undersized ``tile_pairs`` REPORTS instead of silently corrupting.
+    _tile_overflow: list = field(default_factory=list)
+
+    def drain_tile_overflow(self) -> list:
+        out, self._tile_overflow = self._tile_overflow, []
+        return out
 
     def neighborhood(
         self, in_level: int, out_level: int, radius: float, k: int | None = None
@@ -96,13 +104,16 @@ class SpatialCache:
                 # level 0; deeper levels run lossless (full bound) so the
                 # one knob can never silently drop pairs there.
                 pairs = self.tile_pairs if level == 0 else (1 << 30)
-                self._pdf[key] = kde_density(
+                dens, ovf = kde_density(
                     lvl.points,
                     lvl.mask,
                     float(radius),
                     kde_window=self.kde_window,
                     tile_pairs=pairs,
+                    with_overflow=True,
                 )
+                self._tile_overflow.append(ovf)
+                self._pdf[key] = dens
                 return self._pdf[key]
             nbh = None
             if (

@@ -35,6 +35,7 @@ def kde_density(
     neighborhood: Neighborhood | None = None,
     k: int = 32,
     tile_pairs: int | None = None,
+    with_overflow: bool = False,
 ) -> Array:
     """Gaussian-KDE sample density of each point within its own point set.
 
@@ -62,6 +63,8 @@ def kde_density(
       tile_pairs: static tile-pair capacity (``ops.pallas.count_tile_pairs``
         on the point set against itself) — routes to the EXACT z-order tile
         kernel, the big-scene path (no K truncation at any N).
+      with_overflow: only valid together with ``tile_pairs`` — returns
+        ``(density, dropped_pairs)`` (see ``tile_kde``).
     """
     h = kde_window * float(radius)
     N = points.shape[1]
@@ -73,7 +76,8 @@ def kde_density(
         from ..ops.pallas.tile_conv import tile_kde
 
         return tile_kde(
-            points, mask, radius, max_pairs=tile_pairs, kde_window=kde_window
+            points, mask, radius, max_pairs=tile_pairs, kde_window=kde_window,
+            with_overflow=with_overflow,
         )
 
     if (

@@ -88,11 +88,18 @@ class MCConv(nn.Module):
                 max_pairs = cache.tile_pairs
             else:
                 max_pairs = 1 << 30  # min()'d to nts*ntp inside
-            out = tile_mc_conv(
+            out, overflow = tile_mc_conv(
                 params, dst.points, dst.mask, src.points, src.mask,
                 features, pdf, radius, max_pairs=max_pairs,
                 c_out=self.c_out, mean_normalize=mean_norm,
+                with_overflow=True,
             )
+            # Undersized static capacities REPORT instead of silently
+            # dropping neighbor pairs: per-cloud dropped counts land in the
+            # 'diagnostics' collection (tasks/common.py hard-errors on
+            # nonzero after each train step).
+            for ovf in [overflow, *cache.drain_tile_overflow()]:
+                self.sow("diagnostics", "tile_overflow", jnp.max(ovf))
         elif backend == "dense":
             out = dense_mc_conv(
                 params, dst.points, dst.mask, src.points, src.mask,

@@ -205,6 +205,42 @@ def _steps_for_pairs(max_pairs, G, n_major, n_minor):
     return min(full, n_major * (-(-n_minor // G)))
 
 
+def _needed_steps(adj, G):
+    """Per-cloud chunked-step demand of ``adj`` (B, n_major, n_minor): the
+    exact number of grid steps ``_chunked_pair_lists`` needs to emit every
+    true pair (sum over major rows of ceil(row_count / G))."""
+    cnt = jnp.sum(adj.astype(jnp.int32), axis=-1)  # (B, n_major)
+    return jnp.sum(-(-cnt // G), axis=-1)  # (B,)
+
+
+def auto_tile_pairs(
+    pts,
+    mask,
+    radius: float,
+    *,
+    tile: int = DEFAULT_TILE,
+    headroom: float = 1.3,
+    multiple: int = 256,
+) -> int:
+    """Static ``max_pairs`` capacity sized from a representative batch.
+
+    Runs ``count_tile_pairs`` on the batch against itself (a self-pair count
+    upper-bounds the cross-level counts of the same scene at the same radius,
+    since deeper levels have fewer tiles), takes the batch max, applies
+    ``headroom`` for scene-to-scene variation, and rounds up to ``multiple``
+    (keeps recompiles rare if callers re-size on a later batch). Call on
+    CONCRETE arrays outside jit; pair overflow is still counted downstream
+    (``tile_mc_conv(..., with_overflow=True)``) so an unluckily dense later
+    scene reports instead of silently dropping pairs."""
+    import numpy as np
+
+    n = int(
+        np.asarray(count_tile_pairs(pts, mask, pts, mask, radius, tile)).max()
+    )
+    n = int(n * headroom) + 1
+    return -(-n // multiple) * multiple
+
+
 def count_tile_pairs(
     sample_pts: Array,
     sample_mask: Array,
@@ -641,17 +677,24 @@ def tile_mc_conv(
     c_out: int | None = None,
     mean_normalize: bool = False,
     interpret: bool = False,
+    with_overflow: bool = False,
 ) -> Array:
     """Monte-Carlo conv via the z-order tile kernel (big-scene path).
 
     Semantics match ``core.mc_conv`` with unbounded neighbor capacity (all
     in-radius neighbors contribute), like ``bucket_mc_conv``. ``max_pairs``
     is the static per-cloud tile-pair capacity — size it with
-    ``count_tile_pairs`` (pairs beyond it are dropped tile-by-tile from the
-    high end of the sample range; always assert the count fits).
+    ``count_tile_pairs`` / ``auto_tile_pairs`` (pairs beyond it are dropped).
     ``chunk`` groups that many candidate tiles per grid step ((chunk*T, T)
     pair planes): fewer grid steps and taller MXU operands at the cost of
     <= one partial chunk of padding per output tile.
+
+    ``with_overflow=True`` additionally returns the per-cloud DROPPED STEP
+    count (int32, (B,)): the number of chunked grid steps (each carrying up
+    to ``chunk`` tile pairs) that did not fit the static capacity, maxed
+    over the forward/backward list directions. Nonzero means results are
+    silently missing neighbor contributions — treat like
+    ``BucketGrid.overflow`` and raise the capacity.
     """
     B, M, _ = sample_pts.shape
     N = src_pts.shape[1]
@@ -736,7 +779,13 @@ def tile_mc_conv(
         return jnp.zeros((M, co_real), rows.dtype).at[o[:M]].set(rows[:M])
 
     out = jax.vmap(unsort)(order_s, out_sorted)
-    return jnp.where(sample_mask[..., None], out, 0.0)
+    out = jnp.where(sample_mask[..., None], out, 0.0)
+    if with_overflow:
+        need = jnp.maximum(
+            _needed_steps(adj, G), _needed_steps(jnp.swapaxes(adj, 1, 2), G)
+        )
+        return out, jnp.maximum(need - S, 0)
+    return out
 
 
 # ----------------------------------------------------------------------------
@@ -782,6 +831,7 @@ def tile_kde(
     tile: int = DEFAULT_TILE,
     kde_window: float = 0.25,
     interpret: bool = False,
+    with_overflow: bool = False,
 ) -> Array:
     """Exact Gaussian-KDE density via z-order tiles (big-scene path).
 
@@ -847,4 +897,129 @@ def tile_kde(
         return jnp.zeros((N,), d.dtype).at[o[:N]].set(d[:N])
 
     out = jax.vmap(unsort)(order, dens)
-    return jnp.where(mask, out, 1.0)
+    out = jnp.where(mask, out, 1.0)
+    if with_overflow:
+        need = jnp.sum(adj.astype(jnp.int32), axis=(1, 2))  # unchunked list
+        return out, jnp.maximum(need - S, 0)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Tile coverage sweep (big-scene Poisson sampler building block)
+# ----------------------------------------------------------------------------
+
+
+def _cover_kernel(
+    spec: _TSpec,
+    i_ref,
+    j_ref,
+    smp_t_ref,  # (1, 8, T)
+    cand_pos_ref,  # (1, T, LANE)
+    flag_ref,  # (1, T, 1) f32 — candidate-side indicator
+    _cov_init,  # (1, T, 1) zeros, aliased
+    cov_ref,  # (1, T, 1) — per-point count of in-radius flagged points
+):
+    step = pl.program_id(0)
+    S = jnp.int32(spec.S)
+    b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
+    first = (k == 0) | (i_ref[b, k] != i_ref[b, jnp.maximum(k - 1, 0)])
+
+    d2 = _pair_d2(cand_pos_ref[0], smp_t_ref[0])  # (T_cand, T_smp)
+    w = (d2 <= spec.radius * spec.radius).astype(jnp.float32) * flag_ref[0]
+    cov = jnp.sum(w, axis=0)  # (T_smp,)
+
+    @pl.when(first)
+    def _init():
+        cov_ref[0] = cov[:, None]
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        cov_ref[0] += cov[:, None]
+
+
+class TileCoverSweep(NamedTuple):
+    """Reusable z-order tile machinery for repeated coverage queries on ONE
+    point set (the 27-color Poisson sweep runs 27 of them): Morton order,
+    sorted position rows, the AABB-pruned pair list, and the static spec.
+    Build once with ``make_cover_sweep``; call ``counts(flags)`` per query.
+    """
+
+    order: Array  # (B, N) Morton argsort
+    valid: Array  # (B, nt*T) sorted validity
+    rows: Array  # (B, (nt+1)*T, LANE) sorted positions + sentinel tile
+    smp_t: Array  # (B, nt*8, T)
+    i_ids: Array  # (B, S)
+    j_ids: Array  # (B, S)
+    spec: _TSpec
+    overflow: Array  # (B,) dropped pair count (0 when max_pairs covers adj)
+
+    def counts(self, flags: Array) -> Array:
+        """flags (B, nt*T) f32 over SORTED rows -> per-point in-radius
+        flagged-neighbor counts (B, nt*T), self included."""
+        spec = self.spec
+        B = flags.shape[0]
+        S, T, nt = spec.S, spec.T, spec.NTs
+        f = jnp.pad(flags[..., None], ((0, 0), (0, T), (0, 0)))
+
+        def ix_i(s, i, j):
+            b = jax.lax.div(s, jnp.int32(S))
+            return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+        def ix_j(s, i, j):
+            b = jax.lax.div(s, jnp.int32(S))
+            return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+
+        vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+        cov = pl.pallas_call(
+            functools.partial(_cover_kernel, spec),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B * S,),
+                in_specs=[
+                    vm((1, 8, T), ix_i),
+                    vm((1, T, LANE), ix_j),
+                    vm((1, T, 1), ix_j),
+                    vm((1, T, 1), ix_i),
+                ],
+                out_specs=vm((1, T, 1), ix_i),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, nt * T, 1), jnp.float32),
+            input_output_aliases={5: 0},
+            interpret=spec.interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(
+            self.i_ids, self.j_ids, self.smp_t, self.rows, f,
+            jnp.zeros((B, nt * T, 1), jnp.float32),
+        )
+        return cov[..., 0]
+
+
+def make_cover_sweep(
+    points: Array,
+    mask: Array,
+    radius: float,
+    *,
+    max_pairs: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> TileCoverSweep:
+    """Build the reusable tile machinery for ``TileCoverSweep.counts``."""
+    B, N, _ = points.shape
+    T = tile
+    assert T % LANE == 0
+    nt = -(-N // T)
+    order = morton_order(points, mask)
+    rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
+    adj = _tile_adjacency(mn, mx, mn, mx, radius)
+    S = min(max_pairs, nt * nt)
+    i_ids, j_ids = _pair_list(adj, S, nt - 1, nt)
+    smp_t = transposed_tiles(rows[:, : nt * T], T)
+    spec = _TSpec(
+        T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt,
+        interpret=interpret,
+    )
+    need = jnp.sum(adj.astype(jnp.int32), axis=(1, 2))
+    return TileCoverSweep(
+        order=order, valid=valid, rows=rows, smp_t=smp_t, i_ids=i_ids,
+        j_ids=j_ids, spec=spec, overflow=jnp.maximum(need - S, 0),
+    )

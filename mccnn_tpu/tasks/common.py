@@ -196,6 +196,19 @@ class Runner:
         }
         for k, vs in extra_sums.items():
             out[k] = float(np.mean([float(v) for v in vs]))
+        if "tile_overflow" in extra_sums:
+            ovf = max(float(v) for v in extra_sums["tile_overflow"])
+            out["tile_overflow"] = ovf
+            if ovf > 0:
+                self.metrics.log(
+                    int(self.state.step), tag="error", tile_overflow=ovf
+                )
+                raise RuntimeError(
+                    f"tile-pair capacity overflow ({ovf:.0f} dropped steps "
+                    "in some train batch this epoch): results are missing "
+                    "neighbor contributions. Raise tile_pairs (or let the "
+                    "task auto-size it with ops.pallas.auto_tile_pairs)."
+                )
         self.metrics.log(int(self.state.step), tag="train", epoch=epoch, **out)
         return out
 

@@ -93,10 +93,19 @@ def make_train_step(
                 {"params": params, "batch_stats": state.batch_stats},
                 *_model_args(batch),
                 train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "diagnostics"],
                 rngs={"dropout": drop_rng},
             )
             loss, metrics = loss_fn(out, batch)
+            # Kernel-side health counters (e.g. tile-pair capacity overflow,
+            # models/layers.py) ride the metrics so the epoch loop can
+            # hard-error instead of training on silently-truncated convs.
+            diag = jax.tree.leaves(updates.get("diagnostics", {}))
+            if diag:
+                metrics = dict(
+                    metrics,
+                    tile_overflow=jnp.max(jnp.stack([jnp.max(d) for d in diag])),
+                )
             return loss, (metrics, updates.get("batch_stats", state.batch_stats))
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(

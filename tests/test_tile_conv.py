@@ -181,3 +181,57 @@ def test_tile_conv_fully_masked_cloud(rng):
     )
     assert bool(jnp.all(jnp.isfinite(out)))
     assert float(jnp.abs(out[0]).sum()) == 0.0
+
+
+def test_tile_conv_overflow_reported(rng):
+    """Undersized static pair capacity must REPORT dropped work (nonzero
+    per-cloud overflow); an exactly-sized capacity must report zero (VERDICT
+    r2 item 3 — the one silent-wrongness edge of the stack)."""
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(3), feats.shape[-1], None)
+    full = _max_pairs(smp, qmask, src, smask, radius)
+
+    def run(max_pairs, chunk=1):
+        return tile_mc_conv(
+            params, smp, qmask, src, smask, feats, pdf, radius,
+            max_pairs=max_pairs, tile=TILE, chunk=chunk, interpret=True,
+            with_overflow=True,
+        )
+
+    out_ok, ovf_ok = run(full)
+    assert int(jnp.max(ovf_ok)) == 0
+    out_low, ovf_low = run(max(full // 4, 1))
+    assert int(jnp.max(ovf_low)) > 0
+    # and the undersized outputs really are different (the thing the counter
+    # exists to catch)
+    assert not np.allclose(np.asarray(out_ok), np.asarray(out_low))
+
+
+def test_tile_kde_overflow_reported(rng):
+    from mccnn_tpu.ops.pallas import tile_kde
+
+    src, _, _, smask, _, _ = setup(rng)
+    radius = 0.25
+    full = int(count_tile_pairs(src, smask, src, smask, radius, TILE).max())
+    _, ovf = tile_kde(
+        src, smask, radius, max_pairs=full, tile=TILE, interpret=True,
+        with_overflow=True,
+    )
+    assert int(jnp.max(ovf)) == 0
+    _, ovf_low = tile_kde(
+        src, smask, radius, max_pairs=max(full // 4, 1), tile=TILE,
+        interpret=True, with_overflow=True,
+    )
+    assert int(jnp.max(ovf_low)) > 0
+
+
+def test_auto_tile_pairs_covers_batch(rng):
+    from mccnn_tpu.ops.pallas import auto_tile_pairs
+
+    src, _, _, smask, _, _ = setup(rng)
+    radius = 0.25
+    cap = auto_tile_pairs(src, smask, radius, tile=TILE, headroom=1.0)
+    full = int(count_tile_pairs(src, smask, src, smask, radius, TILE).max())
+    assert cap >= full
+    assert cap % 256 == 0
