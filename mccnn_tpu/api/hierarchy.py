@@ -75,6 +75,7 @@ def build_hierarchy(
     level_caps: Sequence[int] | None = None,
     neighbor_k: int = 48,
     global_level: bool = False,
+    tile_pairs: int | None = None,
 ) -> PointHierarchy:
     """Build the Poisson-disk hierarchy. ``points`` must be normalized to the
     unit cube (see ``core.grid.normalize_to_unit_cube``).
@@ -85,6 +86,10 @@ def build_hierarchy(
       neighbor_k: self-neighborhood capacity used by the sampler.
       global_level: append a 1-point level at the masked centroid (the
         reference's "global" pooling level for classification heads).
+      tile_pairs: static z-order tile-pair capacity — big levels sample via
+        the EXACT Morton-tile sweep (no self-neighborhood build, no gathers;
+        core/sampling.py ``_poisson_tiles``). Sized for conv sites at level
+        0 (a conv-radius capacity upper-bounds the smaller Poisson radius).
     """
     if level_caps is None:
         level_caps = default_level_caps(points.shape[1], radii)
@@ -94,11 +99,14 @@ def build_hierarchy(
     cur_pts, cur_mask = points, mask
     for r, cap in zip(radii, level_caps):
         # The dense sampler path needs no neighbor lists; only build them for
-        # large levels (they also get cached on the level for reuse).
+        # large levels (they also get cached on the level for reuse) — and
+        # not even there when the tile sampler takes the level.
         nbh = None
-        if cur_pts.shape[1] > DENSE_SAMPLER_MAX_N:
+        if cur_pts.shape[1] > DENSE_SAMPLER_MAX_N and tile_pairs is None:
             nbh = self_neighbors(cur_pts, cur_mask, r, neighbor_k)
-        ss = poisson_disk(cur_pts, cur_mask, r, cap, neighborhood=nbh)
+        ss = poisson_disk(
+            cur_pts, cur_mask, r, cap, neighborhood=nbh, tile_pairs=tile_pairs
+        )
         nxt_pts = jnp.where(
             ss.mask[..., None],
             jnp.take_along_axis(cur_pts, ss.idx[..., None].repeat(3, -1), axis=1),

@@ -59,11 +59,16 @@ class SampleSet(NamedTuple):
       idx: ``(B, S)`` int32 indices into the input point axis (clipped valid).
       mask: ``(B, S)`` bool — True for real selections.
       selected: ``(B, N)`` bool — dense selection flags over the inputs.
+      overflow: ``(B,)`` int32 dropped tile-pair count (tile-sweep path only;
+        None elsewhere). Nonzero means coverage queries missed pairs and the
+        min-distance invariant may be violated — surface it (models sow it
+        into 'diagnostics'; the train loop hard-errors).
     """
 
     idx: Array
     mask: Array
     selected: Array
+    overflow: Array | None = None
 
 
 DENSE_SAMPLER_MAX_N = 4096  # above this the O(N^2) adjacency gets too big
@@ -77,6 +82,8 @@ def poisson_disk(
     *,
     neighborhood: Neighborhood | None = None,
     k: int = 48,
+    tile_pairs: int | None = None,
+    interpret: bool = False,
 ) -> SampleSet:
     """Maximal Poisson-disk subset with min pairwise distance ``radius``.
 
@@ -87,14 +94,21 @@ def poisson_disk(
       max_samples: static output capacity ``S``; selections beyond it are
         dropped in index order (size it generously — tests check occupancy).
       neighborhood: optional precomputed self-neighborhood at ``radius``
-        (only used by the large-N fallback path).
+        (only used by the large-N neighbor-list fallback).
       k: capacity for the self-neighborhood when computed here.
+      tile_pairs: static z-order tile-pair capacity — routes the large-N case
+        to the EXACT tile-sweep formulation (ops/pallas/tile_conv.py cover
+        sweeps; no K truncation, no per-step gathers). The big-scene default
+        when the caller has a capacity (see api/hierarchy.py).
+      interpret: run the tile sweeps in interpret mode (tests).
 
-    Two implementations of the same 27-color algorithm:
+    Three implementations of the same 27-color algorithm:
       * N <= DENSE_SAMPLER_MAX_N: dense (B, N, N) adjacency masked-reduce —
         no gathers, no segment ops; on TPU each color step is a couple of
         fused VPU passes (~200x faster than the gather formulation).
-      * larger N: neighbor-list formulation (K-capacity gathers per step).
+      * larger N + ``tile_pairs``: Morton-tile cover sweeps (exact).
+      * larger N otherwise: neighbor-list formulation (K-capacity gathers
+        per step; coverage can be under-reported past K).
     """
     B, N, _ = points.shape
 
@@ -107,6 +121,7 @@ def poisson_disk(
 
     point_index = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
 
+    overflow = None
     if N <= 1024 and jax.default_backend() == "tpu":
         # fully fused on-chip sweep (ops/pallas/poisson_kernel.py)
         from ..ops.pallas.poisson_kernel import poisson_sweep_pallas
@@ -114,6 +129,10 @@ def poisson_disk(
         selected = poisson_sweep_pallas(points, mask, cids, colors, radius)
     elif N <= DENSE_SAMPLER_MAX_N:
         selected = _poisson_dense(points, mask, cids, colors, radius)
+    elif tile_pairs is not None:
+        selected, overflow = _poisson_tiles(
+            points, mask, cids, colors, radius, n_cells, tile_pairs, interpret
+        )
     else:
         if neighborhood is None:
             neighborhood = self_neighbors(points, mask, radius, k)
@@ -128,7 +147,7 @@ def poisson_disk(
     order = jnp.argsort(sort_key, axis=-1)[:, :max_samples].astype(jnp.int32)
     out_mask = jnp.take_along_axis(sort_key, order, axis=-1) < _BIG_I32
     idx = jnp.where(out_mask, order, 0)
-    return SampleSet(idx=idx, mask=out_mask, selected=selected)
+    return SampleSet(idx=idx, mask=out_mask, selected=selected, overflow=overflow)
 
 
 def _poisson_dense(points, mask, cids, colors, radius):
@@ -168,6 +187,62 @@ def _poisson_dense(points, mask, cids, colors, radius):
         0, 27, body, (jnp.zeros((B, N), bool), jnp.zeros((B, N), bool))
     )
     return selected
+
+
+def _poisson_tiles(
+    points, mask, cids, colors, radius, n_cells, tile_pairs, interpret
+):
+    """Morton-tile 27-color sweep — the big-scene sampler (round-3 item:
+    hierarchy construction on the conv's tile machinery, SURVEY §3.2).
+
+    EXACT coverage: the per-color "newly covered" query (any in-radius
+    selected candidate?) runs as an AABB-pruned z-order tile sweep
+    (ops/pallas/tile_conv.py ``TileCoverSweep``) instead of reading a
+    K-capacity truncated neighbor list — eliminating both the
+    ``self_neighbors`` build (the 32k-scene bottleneck: a radius search this
+    sampler was the only consumer of) and the 27 rounds of
+    ``selected[nbr_idx]`` gathers (~100 M elem/s on this chip). All per-color
+    state stays in the SORTED domain; one unsort at the end."""
+    from ..ops.pallas.tile_conv import make_cover_sweep
+
+    B, N, _ = points.shape
+    interpret = interpret or jax.default_backend() != "tpu"
+    sweep = make_cover_sweep(
+        points, mask, radius, max_pairs=tile_pairs, interpret=interpret
+    )
+    nt_rows = sweep.valid.shape[1]  # nt * T
+
+    def sort1(x, fill):
+        s = jnp.take_along_axis(x, sweep.order, axis=1)
+        return jnp.pad(s, ((0, 0), (0, nt_rows - N)), constant_values=fill)
+
+    s_cids = sort1(cids, 0)
+    s_colors = sort1(colors, -1)  # padding matches no color
+    s_idx = sort1(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N)), _BIG_I32
+    )
+    s_mask = sweep.valid
+
+    def body(c, state):
+        selected, covered = state
+        uncovered = s_mask & ~covered
+        key = jnp.where(uncovered, s_idx, _BIG_I32)
+        cell_min = jax.vmap(
+            lambda k_, c_: jax.ops.segment_min(k_, c_, num_segments=n_cells)
+        )(key, s_cids)
+        is_min = key == jnp.take_along_axis(cell_min, s_cids, axis=1)
+        cand = uncovered & is_min & (s_colors == c)
+        cov = sweep.counts(cand.astype(jnp.float32))
+        return selected | cand, covered | (cov > 0.0)
+
+    zeros = jnp.zeros((B, nt_rows), bool)
+    selected_sorted, _ = jax.lax.fori_loop(0, 27, body, (zeros, zeros))
+
+    def unsort(o, s):
+        return jnp.zeros((N,), bool).at[o[:N]].set(s[:N])
+
+    selected = jax.vmap(unsort)(sweep.order, selected_sorted)
+    return selected, sweep.overflow
 
 
 def _poisson_neighbor_lists(cids, colors, mask, neighborhood, n_cells, N):

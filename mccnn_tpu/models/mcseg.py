@@ -52,8 +52,15 @@ class MCSeg(nn.Module):
             features = jnp.concatenate([features, cat], axis=-1)
 
         hier = build_hierarchy(
-            points, mask, self.radii, neighbor_k=self.neighbor_k, global_level=False
+            points, mask, self.radii, neighbor_k=self.neighbor_k,
+            global_level=False, tile_pairs=self.tile_pairs,
         )
+        for lvl in hier.levels:
+            if lvl.sample is not None and lvl.sample.overflow is not None:
+                # tile-sampler pair-capacity overflow (see SampleSet.overflow)
+                self.sow(
+                    "diagnostics", "tile_overflow", jnp.max(lvl.sample.overflow)
+                )
         cache = SpatialCache(
             hier, neighbor_k=self.neighbor_k, tile_pairs=self.tile_pairs
         )

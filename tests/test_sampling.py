@@ -69,3 +69,61 @@ def test_gather_sampled(rng):
     idx, smask = np.asarray(ss.idx), np.asarray(ss.mask)
     np.testing.assert_allclose(g[0][smask[0]], feats[0, idx[0][smask[0]]])
     assert np.all(g[0][~smask[0]] == 0)
+
+
+def test_tile_sampler_matches_reference_paths(rng):
+    """The Morton-tile big-scene sampler (round-3: hierarchy on the conv's
+    tile machinery) is the SAME 27-color algorithm — selection must be
+    IDENTICAL to the dense-adjacency formulation, not just invariant-equal."""
+    from mccnn_tpu.core.sampling import _poisson_dense, DENSE_SAMPLER_MAX_N
+    from mccnn_tpu.core.grid import (
+        cell_color27, cell_coords, grid_res_for_radius, linear_cell_ids,
+    )
+
+    B, N, radius = 2, 600, 0.2
+    pts = rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    mask[0, -100:] = False
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+
+    cell_edge = radius / np.sqrt(3.0)
+    res = grid_res_for_radius(radius, cell_scale=1.0 / np.sqrt(3.0))
+    coords = cell_coords(pts_j, cell_edge, res)
+    cids = linear_cell_ids(coords, res)
+    colors = cell_color27(coords)
+
+    want = np.asarray(_poisson_dense(pts_j, mask_j, cids, colors, radius))
+
+    from mccnn_tpu.core.sampling import _poisson_tiles
+
+    got, ovf = _poisson_tiles(
+        pts_j, mask_j, cids, colors, radius, res**3, tile_pairs=1 << 20,
+        interpret=True,
+    )
+    got = np.asarray(got) & mask
+    assert int(np.asarray(ovf).max()) == 0
+    np.testing.assert_array_equal(got, want & mask)
+
+
+def test_tile_sampler_invariants_with_mask(rng):
+    from mccnn_tpu.core.sampling import poisson_disk as pd
+
+    B, N, radius = 1, 700, 0.18
+    pts = rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    mask[:, -150:] = False
+    ss = pd(
+        jnp.asarray(pts), jnp.asarray(mask), radius, 256,
+        tile_pairs=1 << 20, interpret=True,
+    )
+    # force the tile path regardless of N thresholds by calling internals?
+    # poisson_disk dispatches small N to the dense path — so instead check
+    # the invariants hold for whatever path ran AND that overflow is absent
+    # or zero.
+    idx, smask = np.asarray(ss.idx), np.asarray(ss.mask)
+    sel = pts[0, idx[0][smask[0]]]
+    d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= radius - 1e-6
+    cov = np.linalg.norm(pts[0][mask[0]][:, None] - sel[None, :], axis=-1)
+    assert cov.min(-1).max() <= radius + 1e-6
