@@ -1,21 +1,29 @@
-"""One-command ModelNet40 accuracy-parity harness (BASELINE quality gate).
+"""One-command accuracy-parity harnesses for ALL BASELINE configs.
 
-Reference target: MCCNN paper ModelNet40 overall accuracy ~= 90.9 % at 1024
-uniformly sampled points (SURVEY §6 — paper-recalled, re-verify when the
-reference mount appears); the BASELINE gate is parity within +-0.3 %.
+BASELINE.md configs 1-5 map to ``--task``:
 
-Runs the full protocol deterministically (fixed seeds, fixed eval votes) and
-prints ONE JSON line with the verdict, so the moment real ModelNet40 data is
-available the gate is a single command:
+  modelnet  — MCClass(S/H) overall accuracy vs the paper's ~90.9 % (gate
+              ±0.3 %, the BASELINE quality gate). Non-uniform robustness
+              (config 2) is the same harness with ``--protocol`` + MCClassH.
+  shapenet  — MCSeg instance-average part mIoU vs the paper's ~85.9 [M].
+  scannet   — MCSeg scene mIoU (paper value not recalled — pass ``--target``
+              when re-derived; until then the verdict carries pass=null).
+  normals   — MCNorm angular error in degrees (lower is better; paper value
+              not recalled — same treatment).
+
+Each run is deterministic (fixed seeds, fixed eval protocol) and prints ONE
+JSON verdict line, so the moment real data is available each gate is a single
+command, e.g.:
 
   python -m mccnn_tpu.tasks.parity --data /data/modelnet40_normal_resampled
+  python -m mccnn_tpu.tasks.parity --task shapenet --data /data/shapenet_seg
 
-Without data (--synthetic) it validates the harness machinery end-to-end on
-procedural clouds (the verdict is then marked ``proxy: true`` and compares
-against a synthetic-learnability floor instead of the paper number).
+Without data (--synthetic) each harness validates its machinery end-to-end on
+procedural clouds (verdict marked ``proxy: true``, compared against a
+synthetic-learnability floor instead of the paper number).
 
 Reference hyperparameters below are [M]-tagged guesses (SURVEY §2.2 — mount
-empty both rounds); each is a CLI flag so re-deriving them when the mount
+empty all rounds); each is a CLI flag so re-deriving them when the mount
 appears is config-only.
 """
 
@@ -30,15 +38,103 @@ from . import modelnet
 from .common import base_parser
 
 PAPER_ACCURACY = 0.909  # [M] SURVEY §6 — re-verify against the paper/reference
+PAPER_SHAPENET_MIOU = 0.859  # [M] low confidence (BASELINE.md)
 GATE = 0.003
 
 
+def _task_main(args, extra):
+    """Run a task module's main() with the parity protocol fixed, return its
+    best-metric dict."""
+    argv = []
+    if args.synthetic or not args.data:
+        argv.append("--synthetic")
+    else:
+        argv += ["--data", args.data]
+    argv += [
+        "--batch", str(args.batch), "--points", str(args.points),
+        "--epochs", str(args.epochs), "--lr", str(args.lr),
+        "--lr-decay-steps", str(args.lr_decay_steps),
+        "--lr-decay-rate", str(args.lr_decay_rate),
+        "--seed", str(args.seed), "--eval-every", str(args.eval_every),
+        "--protocol", args.protocol,
+        "--log-dir", args.log_dir,
+    ]
+    if args.bn_decay_steps:
+        argv += ["--bn-decay-steps", str(args.bn_decay_steps)]
+    if args.grow:
+        argv += ["--grow", str(args.grow)]
+    if args.steps_per_epoch:
+        argv += ["--steps-per-epoch", str(args.steps_per_epoch)]
+    if args.ckpt_dir:
+        argv += ["--ckpt-dir", args.ckpt_dir]
+    argv += extra
+    if args.task == "shapenet":
+        from . import shapenet
+
+        return shapenet.main(argv)
+    if args.task == "scannet":
+        from . import scannet
+
+        return scannet.main(argv)
+    from . import normals
+
+    return normals.main(argv)
+
+
+def _other_task(args, proxy):
+    """shapenet / scannet / normals parity verdicts via the task CLIs."""
+    spec = {
+        # metric key in the task's return dict, paper target (None = not
+        # recalled), gate, higher-is-better, synthetic-proxy floor
+        "shapenet": ("best_mIoU", PAPER_SHAPENET_MIOU, 0.005, True, 0.25),
+        "scannet": ("best_mIoU", None, 0.005, True, 0.25),
+        "normals": ("best_angular_error", None, 0.5, False, 45.0),
+    }[args.task]
+    key, paper, gate, higher, floor = spec
+    target = args.target if args.target is not None else paper
+    if proxy:
+        target = floor
+    res = _task_main(args, [])
+    value = float(res[key])
+    ok = None
+    if target is not None:
+        g = args.gate if args.gate is not None else gate
+        ok = bool(value >= target - g) if higher else bool(value <= target + g)
+    verdict = {
+        "metric": f"{args.task}_parity",
+        key: round(value, 4),
+        "target": target,
+        "gate": args.gate if args.gate is not None else gate,
+        "pass": ok,
+        "proxy": proxy,
+        "protocol": args.protocol,
+        "seed": args.seed,
+    }
+    if proxy:
+        verdict["note"] = (
+            "synthetic proxy run (no real dataset in this environment); "
+            "target is a learnability floor, not the paper number"
+        )
+    elif target is None:
+        verdict["note"] = (
+            "paper value not recalled (BASELINE.md) — pass --target once "
+            "re-derived from the reference"
+        )
+    print(json.dumps(verdict))
+    return verdict
+
+
 def main(argv=None):
-    p = base_parser("ModelNet40 accuracy-parity harness (MCClassS, voting eval)")
+    p = base_parser("Accuracy-parity harnesses for the BASELINE configs")
+    p.add_argument(
+        "--task",
+        default="modelnet",
+        choices=("modelnet", "shapenet", "scannet", "normals"),
+    )
     p.add_argument("--model", default="MCClassS", choices=sorted(modelnet.MODELS))
     p.add_argument("--votes", type=int, default=8)
-    p.add_argument("--target", type=float, default=PAPER_ACCURACY)
-    p.add_argument("--gate", type=float, default=GATE)
+    p.add_argument("--target", type=float, default=None)
+    p.add_argument("--gate", type=float, default=None)
     # reference-protocol defaults ([M]): 1024 pts, batch 32, Adam 1e-3 with
     # exponential decay, BN decay schedule on, dropout in the model defaults
     p.set_defaults(
@@ -55,6 +151,10 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     proxy = args.synthetic or not args.data
+    if args.task != "modelnet":
+        return _other_task(args, proxy)
+    if args.gate is None:
+        args.gate = GATE
     if proxy:
         n_classes = args.n_classes if getattr(args, "n_classes", None) else 6
         train_src = modelnet.SyntheticSource(
@@ -70,7 +170,7 @@ def main(argv=None):
         train_src = datasets.load_modelnet40(args.data, "train")
         test_src = datasets.load_modelnet40(args.data, "test")
         n_classes = len(train_src.class_names)
-        target = args.target
+        target = args.target if args.target is not None else PAPER_ACCURACY
 
     model = modelnet.build_model(
         args.model, n_classes, args.grow, args.bn_decay_steps

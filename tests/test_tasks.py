@@ -245,3 +245,27 @@ def test_scannet_whole_scene_tile_eval_plumbing():
 
     res = scannet.evaluate_whole_scenes(MockRunner(), src, cap, n_classes)
     assert res["mIoU"] == 1.0 and res["point_accuracy"] == 1.0
+
+
+@pytest.mark.parametrize(
+    "task,key",
+    [("shapenet", "best_mIoU"), ("scannet", "best_mIoU"),
+     ("normals", "best_angular_error")],
+)
+def test_parity_harness_other_tasks(tmp_path, task, key):
+    """BASELINE configs 3-5 are one command from a verdict (VERDICT r2 #7):
+    each non-ModelNet parity harness runs end-to-end on synthetic data and
+    emits the machine-checkable JSON verdict."""
+    from mccnn_tpu.tasks import parity
+
+    v = parity.main(
+        [
+            "--task", task, "--synthetic", "--epochs", "1", "--batch", "4",
+            "--points", "128", "--grow", "8", "--steps-per-epoch", "2",
+            "--eval-every", "1", "--ckpt-dir", str(tmp_path / "ck"),
+            "--log-dir", str(tmp_path / "lg"),
+        ]
+    )
+    assert v["proxy"] is True
+    assert key in v
+    assert v["metric"] == f"{task}_parity"
