@@ -33,6 +33,7 @@ assert, as with ``BucketGrid.overflow``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -348,7 +349,160 @@ def _fwd_kernel(
         cnt_ref[0] += cnt[:, None]
 
 
+# Additive out-of-radius penalty (same trick as dense_conv v2):
+# relu(pre + _NEG) == 0 for any masked pair, so the per-h mask multiply is
+# gone AND the relu mask can be recovered from the stored plane (a > 0).
+# Magnitude check: |pre| <= 2 * SENTINEL * |w1| / r ~ 4e7 << 1e9.
+_NEG = -1.0e9
+
+
 def _bwd_kernel(
+    spec: _TSpec,
+    *refs,
+):
+    """v2 backward: penalty-folded stacked pair planes + Xh matmuls.
+
+    Same ``refs`` layout as :func:`_bwd_kernel_v1` plus two trailing VMEM
+    scratch refs: ``abig`` ((H+1)*G*T, T) bf16 — blocks h<H hold
+    ``a_h = relu(pre_h + pen)`` (planes COMPUTED in f32, stored bf16 — see
+    dense_conv._plane_fill for why the arithmetic must stay f32), block H
+    holds the radius mask; ``tbig`` (H*G*T, C) bf16 — per-h cotangent
+    copies ``ivd * w2_h`` (depthwise) / ``ivd @ w2_h^T`` (full conv).
+
+    Scheme ported from dense_conv v2 (docs/ROUND3.md item 1):
+    ``X_h = a_h^T @ ivd`` serves BOTH dfeat (``X_h * w2_h`` summed over h)
+    and dw2_h (``sum_p fz ⊙ X_h``); ``D = tbig @ fz^T`` feeds dw1/db1 via
+    ``dpre = D * (abig > 0)`` — the relu mask is recovered from the stored
+    plane, so v1's second per-h VPU plane is gone. Backward matmul families:
+    3H+2 (v1) -> 2H+1.
+    """
+    G = spec.G
+    Q = G * spec.T
+    j_ref, i_ref, src_t_ref, src_feat_ref = refs[:4]
+    smp_refs = refs[4 : 4 + G]
+    dout_refs = refs[4 + G : 4 + 2 * G]
+    (w1_ref, b1_ref, w2_ref, b2_ref, _dfeat_init, dfeat_ref, dw1_ref,
+     db1_ref, dw2_ref, db2_ref, abig_ref, tbig_ref) = refs[4 + 2 * G :]
+    step = pl.program_id(0)
+    S = jnp.int32(spec.S)
+    b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
+    j_cur = j_ref[b, k]
+    j_prev = j_ref[b, jnp.maximum(k - 1, 0)]
+    first = (k == 0) | (j_cur != j_prev)
+
+    @pl.when(step == 0)
+    def _zero_params():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    src_t = src_t_ref[0]  # (8, Tp)
+    if G == 1:
+        q = smp_refs[0][0]  # (Q, 128)
+        dout_all = dout_refs[0][0]
+    else:
+        q = jnp.concatenate([r[0] for r in smp_refs], axis=0)  # (Q, 128)
+        dout_all = jnp.concatenate([r[0] for r in dout_refs], axis=0)
+    d2 = _pair_d2(q, src_t)  # (Q, Tp)
+    maskb = d2 <= spec.radius * spec.radius
+    pen = jnp.where(maskb, 0.0, _NEG)
+
+    inv_r = 1.0 / spec.radius
+    cwq = (
+        jnp.dot(q[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * inv_r
+    )  # (Q, H)
+    spT = (
+        jax.lax.dot_general(
+            w1_ref[:], src_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_r
+    )  # (H, Tp)
+    for h in range(spec.H):
+        # offset = src_p - smp_q  =>  pre_h[q, p] = spT[h, p] - cwq[q, h] + b1
+        pre = spT[h : h + 1, :] - cwq[:, h : h + 1] + b1_ref[h, 0] + pen
+        abig_ref[h * Q : (h + 1) * Q, :] = jnp.maximum(pre, 0.0).astype(
+            FEAT_DTYPE
+        )
+    abig_ref[spec.H * Q :, :] = maskb.astype(FEAT_DTYPE)
+
+    ivd = dout_all.astype(FEAT_DTYPE)  # (Q, CO')
+    fz = src_feat_ref[0]  # (Tp, C) bf16
+    fzf = fz.astype(jnp.float32)
+    for h in range(spec.H):
+        if spec.CO is None:
+            tbig_ref[h * Q : (h + 1) * Q, :] = ivd * w2_ref[
+                h : h + 1, :
+            ].astype(FEAT_DTYPE)
+        else:
+            tbig_ref[h * Q : (h + 1) * Q, :] = jax.lax.dot_general(
+                ivd, w2_ref[h].astype(FEAT_DTYPE), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(FEAT_DTYPE)
+
+    A = abig_ref[:]  # ((H+1)Q, Tp) bf16
+    acc = jnp.zeros((spec.T, spec.C), jnp.float32)  # dfeat for this src tile
+    for h in range(spec.H + 1):
+        blk = A[h * Q : (h + 1) * Q, :]  # (Q, Tp) bf16
+        X = jax.lax.dot_general(
+            blk, ivd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tp, CO')
+        if spec.CO is None:
+            row = w2_ref[h : h + 1, :] if h < spec.H else b2_ref[:]
+            acc += X * row
+            s = jnp.sum(fzf * X, axis=0, keepdims=True)  # (1, C)
+            if h < spec.H:
+                dw2_ref[h : h + 1, :] += s
+            else:
+                db2_ref[:] += s
+        else:
+            wmat = w2_ref[h] if h < spec.H else b2_ref[:]  # (C, CO)
+            acc += jax.lax.dot_general(
+                X, wmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Tp, C)
+            g = jax.lax.dot_general(
+                fzf, X, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, CO)
+            if h < spec.H:
+                dw2_ref[h] += g
+            else:
+                db2_ref[:] += g
+
+    D = _mm(tbig_ref[:], fz, ((1,), (1,)))  # (HQ, Tp)
+    # relu mask recovered from the stored plane; the compare runs in f32
+    # (Mosaic rejects bf16 cmpf — CLAUDE.md)
+    relu_on = A[: spec.H * Q, :].astype(jnp.float32) > 0.0
+    dpre = D * relu_on.astype(jnp.float32)
+    d3 = dpre.reshape(spec.H, Q, spec.T)
+    rq = jnp.sum(d3, axis=2)  # (H, Q)
+    rp = jnp.sum(d3, axis=1)  # (H, Tp)
+    q8 = q[:, :W1_ROWS]  # (Q, 8); sentinel rows pair with zero rq
+    t_smp = jax.lax.dot_general(
+        q8, rq, (((0,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32,
+    )  # (8, H)
+    t_src = jax.lax.dot_general(
+        src_t, rp, (((1,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32,
+    )  # (8, H)
+    dw1_ref[:] += (t_src - t_smp) * inv_r
+    db1_ref[:] += jnp.sum(rp, axis=1, keepdims=True)  # (H, 1)
+
+    @pl.when(first)
+    def _init():
+        dfeat_ref[0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        dfeat_ref[0] += acc
+
+
+def _bwd_kernel_v1(
     spec: _TSpec,
     *refs,
 ):
@@ -550,8 +704,18 @@ def _bwd_call(
     b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     dfeat_init_idx = 4 + 2 * G + 4  # index of the aliased zeros input
+    use_v1 = os.environ.get("MCCNN_TILE_BWD_V1") == "1"
+    Q = G * T
+    scratch = (
+        []
+        if use_v1
+        else [
+            pltpu.VMEM(((spec.H + 1) * Q, T), FEAT_DTYPE),  # abig planes
+            pltpu.VMEM((spec.H * Q, spec.C), FEAT_DTYPE),  # tbig copies
+        ]
+    )
     dfeat, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, spec),
+        functools.partial(_bwd_kernel_v1 if use_v1 else _bwd_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B * S,),
@@ -570,6 +734,7 @@ def _bwd_call(
                 vm(w2_shape, const2 if spec.CO is None else const3),
                 vm(b2_shape, const2),
             ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, spec.NTp * T, spec.C), jnp.float32),
