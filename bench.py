@@ -53,7 +53,8 @@ LAST_VERIFIED = {
     "stale": True,
     "note": "STALE: TPU unreachable at bench time; value from the last "
     "successful on-chip run (2026-08-17, batched dense kernel v2, "
-    "0.610 ms/layer full fwd+bwd, chain-difference timing)",
+    "0.600-0.613 ms/layer full fwd+bwd, chain-difference timing; 32k "
+    "z-tile line that run: 3.28 Mpts/s, 10.0 ms/layer, Hilbert ordering)",
 }
 
 

@@ -36,7 +36,8 @@ def main():
     from mccnn_tpu.train import make_optimizer, init_state, make_train_step
     from mccnn_tpu.train.losses import segmentation_loss, masked_accuracy
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    N = int(pos[0]) if pos else 32768
     rng = np.random.default_rng(0)
     pts = jnp.asarray(surface_scene(rng, N))[None]
     mask = jnp.ones((1, N), bool)
@@ -46,8 +47,8 @@ def main():
     # count at the DEFAULT tile — the layer stack's kernels use it
     r0 = 0.05 * 2.0  # radii[0] * conv_radius_scale
     S = int(count_tile_pairs(pts, mask, pts, mask, r0).max())
-    if len(sys.argv) > 2:
-        S = int(sys.argv[2])
+    if len(pos) > 1:
+        S = int(pos[1])
     print(f"N={N} tile_pairs={S}", flush=True)
 
     model = MCSeg(n_classes=8, grow=16, radii=(0.05, 0.15, 0.4), tile_pairs=S)
@@ -79,6 +80,38 @@ def main():
     print(f"whole-scene train step: {best*1e3:.1f} ms raw "
           f"(~{(best-0.030)*1e3:.1f} ms net) loss={float(m['loss']):.4f}",
           flush=True)
+
+    if "--breakdown" in sys.argv:
+        # hierarchy-only cost (chain-difference: the step is O(100 ms) so a
+        # short chain suffices; perturbing the points keeps a true data dep)
+        from mccnn_tpu.api.hierarchy import build_hierarchy
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def hier_chain(p, n):
+            def body(c, _):
+                h = build_hierarchy(
+                    c, mask, (0.05, 0.15, 0.4), neighbor_k=16,
+                    global_level=False, tile_pairs=S,
+                )
+                bump = sum(jnp.sum(l.points) for l in h.levels[1:])
+                return c + 1e-12 * bump, 0
+            out, _ = jax.lax.scan(body, p, None, length=n)
+            return out.sum()
+
+        def best_of(n, reps=3):
+            float(hier_chain(pts, n))
+            b = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(hier_chain(pts, n))
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        per = (best_of(9) - best_of(3)) / 6.0
+        print(f"hierarchy build alone: {per*1e3:.1f} ms "
+              f"({per / max(best - 0.030, 1e-9) * 100:.0f}% of the net step)",
+              flush=True)
 
 
 if __name__ == "__main__":
