@@ -131,7 +131,8 @@ def poisson_disk(
         selected = _poisson_dense(points, mask, cids, colors, radius)
     elif tile_pairs is not None:
         selected, overflow = _poisson_tiles(
-            points, mask, cids, colors, radius, n_cells, tile_pairs, interpret
+            points, mask, coords, cids, colors, radius, res, tile_pairs,
+            interpret,
         )
     else:
         if neighborhood is None:
@@ -190,48 +191,63 @@ def _poisson_dense(points, mask, cids, colors, radius):
 
 
 def _poisson_tiles(
-    points, mask, cids, colors, radius, n_cells, tile_pairs, interpret
+    points, mask, coords, cids, colors, radius, res, tile_pairs, interpret
 ):
-    """Morton-tile 27-color sweep — the big-scene sampler (round-3 item:
+    """Cell-run tile 27-color sweep — the big-scene sampler (round-3 item:
     hierarchy construction on the conv's tile machinery, SURVEY §3.2).
 
     EXACT coverage: the per-color "newly covered" query (any in-radius
-    selected candidate?) runs as an AABB-pruned z-order tile sweep
-    (ops/pallas/tile_conv.py ``TileCoverSweep``) instead of reading a
+    selected candidate?) runs as an AABB-pruned space-filling-curve tile
+    sweep (ops/pallas/tile_conv.py ``TileCoverSweep``) instead of reading a
     K-capacity truncated neighbor list — eliminating both the
     ``self_neighbors`` build (the 32k-scene bottleneck: a radius search this
     sampler was the only consumer of) and the 27 rounds of
-    ``selected[nbr_idx]`` gathers (~100 M elem/s on this chip). All per-color
-    state stays in the SORTED domain; one unsort at the end."""
-    from ..ops.pallas.tile_conv import make_cover_sweep
+    ``selected[nbr_idx]`` gathers (~100 M elem/s on this chip).
+
+    Points are sorted by the Hilbert index of their SAMPLER CELL (bijective
+    on cells; stable argsort tie-breaks by original index), so every cell is
+    one contiguous run in ascending original-index order. The per-color
+    "min-index uncovered point per cell" then needs NO segment_min and NO
+    gather: it is "first uncovered point of its run", a cumsum + cummax
+    segmented-prefix query — all elementwise in the SORTED domain; one
+    unsort at the end."""
+    from ..ops.pallas.tile_conv import hilbert_code, make_cover_sweep
 
     B, N, _ = points.shape
     interpret = interpret or jax.default_backend() != "tpu"
+    bits = max(1, (res - 1).bit_length())
+    assert bits * 3 <= 30, f"sampler cell grid too fine: res={res}"
+    code = hilbert_code(
+        jnp.clip(coords, 0, (1 << bits) - 1).astype(jnp.int32), bits
+    )
+    code = jnp.where(mask, code, _BIG_I32)
+    order = jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
     sweep = make_cover_sweep(
-        points, mask, radius, max_pairs=tile_pairs, interpret=interpret
+        points, mask, radius, max_pairs=tile_pairs, order=order,
+        interpret=interpret,
     )
     nt_rows = sweep.valid.shape[1]  # nt * T
 
     def sort1(x, fill):
-        s = jnp.take_along_axis(x, sweep.order, axis=1)
+        s = jnp.take_along_axis(x, order, axis=1)
         return jnp.pad(s, ((0, 0), (0, nt_rows - N)), constant_values=fill)
 
-    s_cids = sort1(cids, 0)
+    s_cids = sort1(cids, -1)  # padding joins no real run
     s_colors = sort1(colors, -1)  # padding matches no color
-    s_idx = sort1(
-        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N)), _BIG_I32
-    )
     s_mask = sweep.valid
+    seg_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), s_cids[:, 1:] != s_cids[:, :-1]], axis=1
+    )
 
     def body(c, state):
         selected, covered = state
         uncovered = s_mask & ~covered
-        key = jnp.where(uncovered, s_idx, _BIG_I32)
-        cell_min = jax.vmap(
-            lambda k_, c_: jax.ops.segment_min(k_, c_, num_segments=n_cells)
-        )(key, s_cids)
-        is_min = key == jnp.take_along_axis(cell_min, s_cids, axis=1)
-        cand = uncovered & is_min & (s_colors == c)
+        u = uncovered.astype(jnp.int32)
+        excl = jnp.cumsum(u, axis=1) - u  # uncovered strictly before i
+        # excl at the latest run start <= i: excl is non-decreasing, so the
+        # running max over run starts is exactly the current run's base.
+        base = jax.lax.cummax(jnp.where(seg_start, excl, -1), axis=1)
+        cand = uncovered & (excl == base) & (s_colors == c)
         cov = sweep.counts(cand.astype(jnp.float32))
         return selected | cand, covered | (cov > 0.0)
 
@@ -241,7 +257,7 @@ def _poisson_tiles(
     def unsort(o, s):
         return jnp.zeros((N,), bool).at[o[:N]].set(s[:N])
 
-    selected = jax.vmap(unsort)(sweep.order, selected_sorted)
+    selected = jax.vmap(unsort)(order, selected_sorted)
     return selected, sweep.overflow
 
 

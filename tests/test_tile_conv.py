@@ -219,8 +219,12 @@ def test_tile_kde_overflow_reported(rng):
         with_overflow=True,
     )
     assert int(jnp.max(ovf)) == 0
+    # chunked capacity carries one partial chunk of slack per sample tile, so
+    # at this 4-tile scene a quartered pair budget still fits at G=8 (and
+    # that is CORRECT — nothing is dropped); force G=1, where steps == pairs
+    # and the quartered budget genuinely drops work.
     _, ovf_low = tile_kde(
-        src, smask, radius, max_pairs=max(full // 4, 1), tile=TILE,
+        src, smask, radius, max_pairs=max(full // 4, 1), tile=TILE, chunk=1,
         interpret=True, with_overflow=True,
     )
     assert int(jnp.max(ovf_low)) > 0
