@@ -424,15 +424,41 @@ def _bwd_kernel_b(
     d2 = _pair_d2(q, src_t)  # (M, TILE)
     maskb = d2 <= spec.radius * spec.radius
     pen = jnp.where(maskb, 0.0, _NEG)
-    # bwd orientation: offset = src_p - smp_q => sample carries -, src +
-    _plane_fill(
-        spec, M, q, src_t, w1_ref, b1t_ref[:], -1.0, abig_ref, pen,
-        maskb.astype(jnp.float32),
-    )
-    A = abig_ref[:]  # ((H+1)M, TILE) bf16
     fz = src_feat_ref[0]  # (TILE, C') bf16
     ivd = invdout_ref[0]  # (M, CO') bf16
     fzf = fz.astype(jnp.float32)
+
+    # D is hoisted BEFORE the plane loop so dpre_h = step(pre_h) * D_h can be
+    # taken while pre_h is still live in f32 registers — v2 re-read the bf16
+    # plane and re-derived the relu mask (cast + compare + cast + multiply
+    # over the full (HM, TILE) stack); fusing drops those passes. The step()
+    # boundary stays in f32 (pre>0 on the f32 plane — see _plane_fill).
+    D = _mm(tbig_ref[: H * M, :], fz, ((1,), (1,)))  # (HM, TILE)
+    inv_r = 1.0 / spec.radius
+    # bwd orientation: offset = src_p - smp_q => sample carries -, src +
+    cw = (
+        jnp.dot(q[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * (-inv_r)
+        + b1t_ref[:]
+    )  # (M, H)
+    owT = (
+        jax.lax.dot_general(
+            w1_ref[:], src_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * (-inv_r)
+    )  # (H, TILE)
+    rq_l, rp_l = [], []
+    for h in range(H):
+        pre = cw[:, h : h + 1] - owT[h : h + 1, :] + pen
+        abig_ref[h * M : (h + 1) * M, :] = jnp.maximum(pre, 0.0).astype(
+            FEAT_DTYPE
+        )
+        dh = jnp.where(pre > 0.0, D[h * M : (h + 1) * M, :], 0.0)
+        rq_l.append(jnp.sum(dh, axis=1))  # (M,)
+        rp_l.append(jnp.sum(dh, axis=0))  # (TILE,)
+    abig_ref[H * M :, :] = maskb.astype(FEAT_DTYPE)
+    A = abig_ref[:]  # ((H+1)M, TILE) bf16
 
     # Xh scheme: X_h = a_h^T @ invdout carries BOTH the dfeat contribution
     # (X_h * w2_h summed over h) and the dw2_h contribution (sum_p fz ⊙ X_h)
@@ -469,14 +495,8 @@ def _bwd_kernel_b(
                 db2_ref[:] += g
     dfeat_ref[0] = acc
 
-    D = _mm(tbig_ref[: H * M, :], fz, ((1,), (1,)))  # (HM, TILE)
-    # relu mask recovered from the stored plane; the compare runs in f32
-    # (Mosaic rejects bf16 cmpf — CLAUDE.md)
-    relu_on = A[: H * M, :].astype(jnp.float32) > 0.0
-    dpre = D * relu_on.astype(jnp.float32)
-    d3 = dpre.reshape(H, M, TILE)
-    rq = jnp.sum(d3, axis=2)  # (H, M)
-    rp = jnp.sum(d3, axis=1)  # (H, TILE)
+    rq = jnp.stack(rq_l, axis=0)  # (H, M)
+    rp = jnp.stack(rp_l, axis=0)  # (H, TILE)
     t_smp = jax.lax.dot_general(
         q[:, :W1_ROWS], rq, (((0,), (1,)), ((), ())), precision=_HI,
         preferred_element_type=jnp.float32,
@@ -485,7 +505,6 @@ def _bwd_kernel_b(
         src_t, rp, (((1,), (1,)), ((), ())), precision=_HI,
         preferred_element_type=jnp.float32,
     )  # (8, H)
-    inv_r = 1.0 / spec.radius
     dw1_ref[:] += (t_src - t_smp) * inv_r
     db1_ref[:] += jnp.sum(rp, axis=1, keepdims=True)
 
