@@ -354,8 +354,10 @@ def _fwd_kernel(
         cand = jnp.concatenate([r[0] for r in pos_refs], axis=0)  # (G*T, 128)
         fz_all = jnp.concatenate([r[0] for r in feat_refs], axis=0)
     d2 = _pair_d2(cand, smp_t)  # (G*T, T): candidates x samples
-    maskf = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+    maskb = d2 <= spec.radius * spec.radius
+    maskf = maskb.astype(jnp.float32)
     cnt = jnp.sum(maskf, axis=0)  # (T,)
+    pen = jnp.where(maskb, 0.0, _NEG)  # additive penalty: no per-h multiply
 
     inv_r = 1.0 / spec.radius
     cw = (
@@ -374,8 +376,8 @@ def _fwd_kernel(
     CO = spec.C if spec.CO is None else spec.CO
     acc = jnp.zeros((spec.T, CO), jnp.float32)
     for h in range(spec.H):
-        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0]
-        a_h = jnp.maximum(pre, 0.0) * maskf  # (G*T, T)
+        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0] + pen
+        a_h = jnp.maximum(pre, 0.0)  # (G*T, T); penalty zeroes masked pairs
         g_h = _mm(a_h, fz, ((0,), (0,)))  # (T, C)
         if spec.CO is None:
             acc += g_h * w2_ref[h : h + 1, :]
