@@ -58,23 +58,31 @@ LAST_VERIFIED = {
 }
 
 
-def _tpu_reachable(timeout_s: int = 420) -> bool:
+def _tpu_reachable(timeout_s: int = 240, attempts: int = 3) -> bool:
     # The remote compile helper intermittently stalls for minutes even when
-    # the chip is healthy (ROUND2.md incidents) — a short probe mislabels a
-    # live chip as unreachable.
+    # the chip is healthy (ROUND2.md incidents) — a short single probe
+    # mislabels a live chip as unreachable, so retry across ~10 minutes
+    # (VERDICT r2 #6) with a pause for a wedged helper to drain.
     """Probe the TPU in a subprocess (backend init hangs when the tunnel is
     down, so the probe must be killable)."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(60)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))"],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# TPU probe attempt {attempt + 1}/{attempts} failed",
+              file=sys.stderr)
+    return False
 
 
 def main() -> None:

@@ -1,0 +1,134 @@
+"""Serving-bundle export/load roundtrips (mccnn_tpu/serve.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mccnn_tpu import serve
+from mccnn_tpu.models import MCClassS, MCSeg
+
+SMALL = dict(grow=8, neighbor_k=16)
+
+
+def _batch(rng, B=2, N=96):
+    return {
+        "points": rng.uniform(0, 1, size=(B, N, 3)).astype(np.float32),
+        "mask": np.ones((B, N), bool),
+    }
+
+
+def _init(model, batch):
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["points"], batch["mask"], train=False
+    )
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def test_roundtrip_exact(rng, tmp_path):
+    model = MCClassS(n_classes=5, **SMALL)
+    batch = _batch(rng)
+    params, stats = _init(model, batch)
+    exported = serve.export_predict(model, params, stats, batch)
+    path = str(tmp_path / "m.mcb")
+    manifest = serve.save_bundle(path, exported, manifest={"model": "MCClassS"})
+    assert manifest["format_version"] == serve.FORMAT_VERSION
+
+    bundle = serve.load_bundle(path)
+    got = bundle(batch)
+    want = serve.make_predict_fn(model, params, stats)(batch)
+    # The deserialized program recompiles from StableHLO with its own fusion
+    # choices — numerically equivalent, not bitwise.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert serve.bundle_info(path)["model"] == "MCClassS"
+
+
+def test_predict_pads_small_batches(rng, tmp_path):
+    model = MCClassS(n_classes=5, **SMALL)
+    batch = _batch(rng, B=4)
+    params, stats = _init(model, batch)
+    path = str(tmp_path / "m.mcb")
+    serve.save_bundle(
+        path, serve.export_predict(model, params, stats, batch)
+    )
+    bundle = serve.load_bundle(path)
+    assert bundle.batch_size == 4
+
+    one = {k: v[:1] for k, v in batch.items()}
+    got = bundle.predict(one)
+    want = serve.make_predict_fn(model, params, stats)(batch)[:1]
+    assert got.shape == (1, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    too_big = {k: np.repeat(v, 2, axis=0) for k, v in batch.items()}
+    with pytest.raises(ValueError, match="exceeds the exported batch"):
+        bundle.predict(too_big)
+
+
+def test_wrong_shape_rejected(rng, tmp_path):
+    model = MCClassS(n_classes=5, **SMALL)
+    batch = _batch(rng)
+    params, stats = _init(model, batch)
+    path = str(tmp_path / "m.mcb")
+    serve.save_bundle(path, serve.export_predict(model, params, stats, batch))
+    bundle = serve.load_bundle(path)
+    bad = _batch(rng, B=2, N=64)  # wrong point count: shape-checked at call
+    with pytest.raises(Exception):
+        bundle(bad)
+
+
+def test_mcseg_with_category_onehot(rng, tmp_path):
+    model = MCSeg(n_classes=4, radii=(0.1, 0.3), **SMALL)
+    batch = _batch(rng)
+    batch["category_onehot"] = np.eye(3, dtype=np.float32)[:2]
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["points"],
+        batch["mask"],
+        None,
+        jnp.asarray(batch["category_onehot"]),
+        train=False,
+    )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    path = str(tmp_path / "seg.mcb")
+    serve.save_bundle(path, serve.export_predict(model, params, stats, batch))
+    got = serve.load_bundle(path)(batch)
+    want = serve.make_predict_fn(model, params, stats)(batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert got.shape == (2, 96, 4)
+
+
+def test_load_bundle_populates_compilation_cache(rng, tmp_path):
+    model = MCClassS(n_classes=3, **SMALL)
+    batch = _batch(rng)
+    params, stats = _init(model, batch)
+    path = str(tmp_path / "m.mcb")
+    serve.save_bundle(path, serve.export_predict(model, params, stats, batch))
+
+    cache = tmp_path / "xla_cache"
+    bundle = serve.load_bundle(path, cache_dir=str(cache))
+    first = np.asarray(bundle(batch))
+    assert cache.is_dir() and any(cache.iterdir()), (
+        "persistent compilation cache stayed empty"
+    )
+    # A re-load in the same process must agree (and hits the cache on disk).
+    again = np.asarray(serve.load_bundle(path, cache_dir=str(cache))(batch))
+    np.testing.assert_array_equal(first, again)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    from mccnn_tpu.tasks.export import main
+
+    out = str(tmp_path / "cli.mcb")
+    rc = main(
+        [
+            "--model", "MCClassS", "--n-classes", "7",
+            "--grow", "8", "--batch", "2", "--points", "64",
+            "--out", out, "--check",
+        ]
+    )
+    assert rc == 0
+    info = serve.bundle_info(out)
+    assert info["model"] == "MCClassS" and info["trained"] is False
+    assert serve.load_bundle(out).batch_size == 2
