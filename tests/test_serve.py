@@ -117,6 +117,46 @@ def test_load_bundle_populates_compilation_cache(rng, tmp_path):
     np.testing.assert_array_equal(first, again)
 
 
+def test_predict_cli_classification_and_seg(tmp_path):
+    from mccnn_tpu.tasks.export import main as export_main
+    from mccnn_tpu.tasks.predict import main as predict_main
+    from mccnn_tpu.utils import io as pcio
+
+    rng = np.random.default_rng(3)
+    cls_mcb = str(tmp_path / "cls.mcb")
+    export_main(
+        ["--model", "MCClassS", "--n-classes", "7", "--grow", "8",
+         "--batch", "2", "--points", "64", "--out", cls_mcb]
+    )
+    # three clouds through a batch-2 bundle: exercises grouping + padding
+    files = []
+    for i in range(3):
+        f = str(tmp_path / f"cloud{i}.txt")
+        pcio.write_points_txt(f, rng.uniform(0, 1, (100 + i, 3)))
+        files.append(f)
+    out = str(tmp_path / "preds.jsonl")
+    recs = predict_main(files + ["--bundle", cls_mcb, "--out", out])
+    assert len(recs) == 3
+    assert all(0 <= r["label"] < 7 and 0 < r["prob"] <= 1 for r in recs)
+    assert len(open(out).read().strip().splitlines()) == 3
+
+    seg_mcb = str(tmp_path / "seg.mcb")
+    export_main(
+        ["--model", "MCSeg", "--n-classes", "4", "--grow", "8",
+         "--batch", "1", "--points", "64", "--out", seg_mcb]
+    )
+    viz = str(tmp_path / "viz")
+    recs = predict_main(
+        [files[0], "--bundle", seg_mcb, "--out-dir", viz]
+    )
+    assert recs[0]["dominant_label"] in range(4)
+    seg_ply = recs[0]["ply"]
+    # the written visualization is itself a readable input
+    assert pcio.read_ply(seg_ply)["x"].shape == (64,)
+    recs2 = predict_main([seg_ply, "--bundle", seg_mcb])
+    assert sum(recs2[0]["label_hist"]) == 64
+
+
 def test_export_cli_roundtrip(tmp_path):
     from mccnn_tpu.tasks.export import main
 

@@ -38,10 +38,14 @@ def main():
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(pos[0]) if pos else 32768
+    B = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            B = int(a.split("=")[1])
     rng = np.random.default_rng(0)
-    pts = jnp.asarray(surface_scene(rng, N))[None]
-    mask = jnp.ones((1, N), bool)
-    labels = jnp.asarray(rng.integers(0, 8, size=(1, N)), jnp.int32)
+    pts = jnp.asarray(np.stack([surface_scene(rng, N) for _ in range(B)]))
+    mask = jnp.ones((B, N), bool)
+    labels = jnp.asarray(rng.integers(0, 8, size=(B, N)), jnp.int32)
 
     # size the pair capacity on the level-0 conv radius (the tightest tiling);
     # count at the DEFAULT tile — the layer stack's kernels use it
@@ -49,7 +53,7 @@ def main():
     S = int(count_tile_pairs(pts, mask, pts, mask, r0).max())
     if len(pos) > 1:
         S = int(pos[1])
-    print(f"N={N} tile_pairs={S}", flush=True)
+    print(f"N={N} B={B} tile_pairs={S}", flush=True)
 
     model = MCSeg(n_classes=8, grow=16, radii=(0.05, 0.15, 0.4), tile_pairs=S)
 
