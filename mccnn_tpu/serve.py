@@ -73,42 +73,69 @@ def export_predict(
 
 def save_bundle(
     path: str,
-    exported: jax_export.Exported,
+    exported: jax_export.Exported | list[jax_export.Exported],
     *,
     manifest: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Write a ``.mcb`` bundle: zip(manifest.json, predict.jaxexport)."""
+    """Write a ``.mcb`` bundle: zip(manifest.json, predict*.jaxexport).
+
+    A LIST of exports (same model, different batch sizes) writes a
+    **bucketed-batch bundle** — the static-shape TPU serving pattern
+    (``allowed_batch_sizes``): the loader routes each request to the
+    smallest program whose batch fits, bounding padding waste to the
+    bucket spacing instead of the largest batch.
+    """
+    exports = exported if isinstance(exported, list) else [exported]
+    exports = sorted(exports, key=lambda e: int(e.in_avals[0].shape[0]))
     man = dict(manifest or {})
     man.setdefault("format_version", FORMAT_VERSION)
     man.setdefault("created_unix", int(time.time()))
     man["jax_version"] = jax.__version__
-    man["platforms"] = list(exported.platforms)
+    man["platforms"] = sorted({p for e in exports for p in e.platforms})
     man["input_spec"] = {
-        "tree": str(exported.in_tree),
-        "avals": [str(a) for a in exported.in_avals],
+        "tree": str(exports[-1].in_tree),
+        "avals": [str(a) for a in exports[-1].in_avals],
     }
-    man["output_spec"] = [str(a) for a in exported.out_avals]
+    man["output_spec"] = [str(a) for a in exports[-1].out_avals]
+    if len(exports) > 1:
+        man["programs"] = [
+            {
+                "member": f"predict_{i}.jaxexport",
+                "batch": int(e.in_avals[0].shape[0]),
+            }
+            for i, e in enumerate(exports)
+        ]
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_MANIFEST_MEMBER, json.dumps(man, indent=2, sort_keys=True))
-        zf.writestr(_EXPORT_MEMBER, bytes(exported.serialize()))
+        if len(exports) == 1:
+            zf.writestr(_EXPORT_MEMBER, bytes(exports[0].serialize()))
+        else:
+            for spec, e in zip(man["programs"], exports):
+                zf.writestr(spec["member"], bytes(e.serialize()))
     return man
 
 
 class LoadedBundle:
-    """A deserialized bundle, callable on any batch size <= the exported one.
+    """A deserialized bundle, callable on any batch size <= the largest
+    exported one.
 
-    ``predict`` pads the leading axis of every batch entry up to the exported
-    batch (repeating row 0 — all entries share the leading batch axis by the
-    zoo contract) and slices outputs back, so variable-size serving requests
-    reuse the single compiled program.
+    ``predict`` routes the request to the smallest exported program whose
+    batch fits (one program in the common case; the bucketed-batch ladder
+    when the bundle was saved with several), pads the leading axis of every
+    batch entry up to that program's batch (repeating row 0 — all entries
+    share the leading batch axis by the zoo contract), and slices outputs
+    back — variable-size serving traffic never triggers a recompile.
     """
 
-    def __init__(self, manifest: dict, exported: jax_export.Exported):
+    def __init__(self, manifest: dict, exports: list[jax_export.Exported]):
+        exports = sorted(exports, key=lambda e: int(e.in_avals[0].shape[0]))
         self.manifest = manifest
-        self.exported = exported
-        self._call = jax.jit(exported.call)
-        # Leading dim of the first input aval = the exported batch size.
-        self.batch_size = int(exported.in_avals[0].shape[0])
+        self.exported = exports[-1]  # largest signature (back-compat alias)
+        self._programs = [
+            (int(e.in_avals[0].shape[0]), jax.jit(e.call)) for e in exports
+        ]
+        self.batch_sizes = [b for b, _ in self._programs]
+        self.batch_size = self.batch_sizes[-1]
 
     def predict(self, batch: dict):
         b = int(next(iter(batch.values())).shape[0])
@@ -117,20 +144,30 @@ class LoadedBundle:
                 f"request batch {b} exceeds the exported batch "
                 f"{self.batch_size}; split the request or re-export"
             )
-        if b < self.batch_size:
-            pad = self.batch_size - b
+        target, call = next(
+            (bs, c) for bs, c in self._programs if bs >= b
+        )
+        if b < target:
+            pad = target - b
             batch = {
                 k: np.concatenate(
                     [np.asarray(v), np.repeat(np.asarray(v)[:1], pad, axis=0)]
                 )
                 for k, v in batch.items()
             }
-        out = self._call(batch)
+        out = call(batch)
         return jax.tree.map(lambda x: x[:b], out)
 
     # The raw exact-shape entry point (no padding), e.g. for benchmarking.
     def __call__(self, batch: dict):
-        return self._call(batch)
+        b = int(next(iter(batch.values())).shape[0])
+        for bs, call in self._programs:
+            if bs == b:
+                return call(batch)
+        raise ValueError(
+            f"no exported program with batch {b} (have {self.batch_sizes}); "
+            "use predict() for padded routing"
+        )
 
 
 def load_bundle(path: str, *, cache_dir: str | None = None) -> LoadedBundle:
@@ -149,13 +186,18 @@ def load_bundle(path: str, *, cache_dir: str | None = None) -> LoadedBundle:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     with zipfile.ZipFile(path, "r") as zf:
         manifest = json.loads(zf.read(_MANIFEST_MEMBER))
-        blob = zf.read(_EXPORT_MEMBER)
+        members = [
+            spec["member"] for spec in manifest.get("programs", ())
+        ] or [_EXPORT_MEMBER]
+        blobs = [zf.read(m) for m in members]
     if manifest.get("format_version", 0) > FORMAT_VERSION:
         raise ValueError(
             f"bundle format {manifest['format_version']} is newer than this "
             f"library ({FORMAT_VERSION})"
         )
-    return LoadedBundle(manifest, jax_export.deserialize(bytearray(blob)))
+    return LoadedBundle(
+        manifest, [jax_export.deserialize(bytearray(b)) for b in blobs]
+    )
 
 
 def bundle_info(path: str) -> dict:

@@ -70,7 +70,14 @@ def main(argv=None):
     p.add_argument("--n-categories", type=int, default=0, help="MCSeg one-hot")
     p.add_argument("--features-dim", type=int, default=0, help="0 = ones")
     p.add_argument("--grow", type=int, default=None)
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument(
+        "--batch",
+        type=str,
+        default="8",
+        help="batch size, or a comma list (e.g. '1,4,8') for a "
+        "bucketed-batch bundle — requests route to the smallest fitting "
+        "program",
+    )
     p.add_argument("--points", type=int, default=1024)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--out", type=str, required=True)
@@ -85,7 +92,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    batch_sizes = sorted({int(b) for b in args.batch.split(",")})
     model = build_model(args)
+    args.batch = batch_sizes[-1]
     batch = example_batch(args)
     state = init_state(
         model, make_optimizer(), jax.random.PRNGKey(args.seed), batch
@@ -99,12 +108,21 @@ def main(argv=None):
         print(f"restored checkpoint (epoch {extra.get('epoch', '?')})")
 
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
-    exported = serve.export_predict(
-        model, state.params, state.batch_stats, batch, platforms=platforms
-    )
+    exports = []
+    for bs in batch_sizes:
+        args.batch = bs
+        exports.append(
+            serve.export_predict(
+                model,
+                state.params,
+                state.batch_stats,
+                example_batch(args),
+                platforms=platforms,
+            )
+        )
     manifest = serve.save_bundle(
         args.out,
-        exported,
+        exports if len(exports) > 1 else exports[0],
         manifest={
             "model": args.model,
             "trained": trained,

@@ -117,6 +117,31 @@ def test_load_bundle_populates_compilation_cache(rng, tmp_path):
     np.testing.assert_array_equal(first, again)
 
 
+def test_bucketed_batch_bundle(rng, tmp_path):
+    model = MCClassS(n_classes=5, **SMALL)
+    batch = _batch(rng, B=4)
+    params, stats = _init(model, batch)
+    exports = [
+        serve.export_predict(model, params, stats, {k: v[:b] for k, v in batch.items()})
+        for b in (1, 2, 4)
+    ]
+    path = str(tmp_path / "buckets.mcb")
+    man = serve.save_bundle(path, exports)
+    assert [p["batch"] for p in man["programs"]] == [1, 2, 4]
+
+    bundle = serve.load_bundle(path)
+    assert bundle.batch_sizes == [1, 2, 4] and bundle.batch_size == 4
+    want = serve.make_predict_fn(model, params, stats)(batch)
+    # b=2 routes to the batch-2 program exactly; b=3 pads into the batch-4
+    got2 = bundle.predict({k: v[:2] for k, v in batch.items()})
+    got3 = bundle.predict({k: v[:3] for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want)[:2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want)[:3], atol=1e-5)
+    # __call__ is exact-shape: batch 3 matches no program
+    with pytest.raises(ValueError, match="no exported program"):
+        bundle({k: v[:3] for k, v in batch.items()})
+
+
 def test_predict_cli_classification_and_seg(tmp_path):
     from mccnn_tpu.tasks.export import main as export_main
     from mccnn_tpu.tasks.predict import main as predict_main
