@@ -31,9 +31,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
-_BIG = jnp.float32(1e9)
+# Plain float, NOT jnp.float32: a module-level jax array initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize on pods
+# (it must run before any backend-initializing call).
+_BIG = np.float32(1e9)
 
 
 class HaloAugmented(NamedTuple):

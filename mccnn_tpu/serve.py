@@ -186,15 +186,17 @@ def load_bundle(path: str, *, cache_dir: str | None = None) -> LoadedBundle:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     with zipfile.ZipFile(path, "r") as zf:
         manifest = json.loads(zf.read(_MANIFEST_MEMBER))
+        # Forward-compat check BEFORE touching program members (a newer
+        # format may rename/restructure them).
+        if manifest.get("format_version", 0) > FORMAT_VERSION:
+            raise ValueError(
+                f"bundle format {manifest['format_version']} is newer than "
+                f"this library ({FORMAT_VERSION})"
+            )
         members = [
             spec["member"] for spec in manifest.get("programs", ())
         ] or [_EXPORT_MEMBER]
         blobs = [zf.read(m) for m in members]
-    if manifest.get("format_version", 0) > FORMAT_VERSION:
-        raise ValueError(
-            f"bundle format {manifest['format_version']} is newer than this "
-            f"library ({FORMAT_VERSION})"
-        )
     return LoadedBundle(
         manifest, [jax_export.deserialize(bytearray(b)) for b in blobs]
     )

@@ -52,7 +52,9 @@ def _exported_points(bundle: serve.LoadedBundle) -> int:
     raise ValueError("cannot infer exported point count from the bundle")
 
 
-def _make_batch(clouds: list[np.ndarray], bundle: serve.LoadedBundle) -> dict:
+def _make_batch(
+    clouds: list[np.ndarray], bundle: serve.LoadedBundle, category: int = 0
+) -> dict:
     flags = bundle.manifest.get("flags", {})
     batch = {
         "points": np.stack(clouds),
@@ -64,8 +66,14 @@ def _make_batch(clouds: list[np.ndarray], bundle: serve.LoadedBundle) -> dict:
             np.float32,
         )
     if flags.get("n_categories"):
-        onehot = np.zeros((len(clouds), int(flags["n_categories"])), np.float32)
-        onehot[:, 0] = 1.0
+        n_cat = int(flags["n_categories"])
+        if not 0 <= category < n_cat:
+            raise ValueError(
+                f"--category {category} out of range for this bundle "
+                f"(exported with {n_cat} categories)"
+            )
+        onehot = np.zeros((len(clouds), n_cat), np.float32)
+        onehot[:, category] = 1.0
         batch["category_onehot"] = onehot
     return batch
 
@@ -83,6 +91,13 @@ def main(argv=None):
         "--no-normalize",
         action="store_true",
         help="inputs are already in the unit cube",
+    )
+    p.add_argument(
+        "--category",
+        type=int,
+        default=0,
+        help="object-category index for category-conditioned bundles "
+        "(e.g. ShapeNet MCSeg); applies to ALL input files",
     )
     p.add_argument("--seed", type=int, default=0, help="resampling seed")
     args = p.parse_args(argv)
@@ -106,7 +121,15 @@ def main(argv=None):
                     pts = _normalize_np(pts)
                 pts, _, _ = pad_points(pts, n_points, rng)
                 clouds.append(pts)
-            out = np.asarray(bundle.predict(_make_batch(clouds, bundle)))
+            out = bundle.predict(
+                _make_batch(clouds, bundle, category=args.category)
+            )
+            if isinstance(out, (tuple, list)):
+                # MCClassH returns (joint, path_a, path_b) logits; the
+                # joint head is the deployment output (tasks/modelnet.py
+                # `_logits` does the same for eval).
+                out = out[0]
+            out = np.asarray(out)
 
             for i, f in enumerate(files):
                 rec = {"file": f, "model": model_kind}

@@ -22,17 +22,24 @@ def main():
     # The axon sitecustomize pins the TPU platform; force CPU before any
     # backend-initializing call (same dance as tests/conftest.py).
     jax.config.update("jax_platforms", "cpu")
+    # num_cpu_devices must be set before ANY jax op runs — importing the
+    # package below executes some, so configure first, import after.
+    n_dev = 8 if role == "oracle" else 8 // int(nprocs)
+    jax.config.update("jax_num_cpu_devices", n_dev)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from mccnn_tpu.parallel.multihost import initialize_distributed
+
     if role == "oracle":
-        jax.config.update("jax_num_cpu_devices", 8)
+        initialize_distributed()  # single-process no-op path
     else:
-        jax.config.update("jax_num_cpu_devices", 8 // int(nprocs))
-        jax.distributed.initialize(
+        # The helper real pods call (covers parallel/multihost.py:22).
+        initialize_distributed(
             coordinator_address=f"localhost:{port}",
             num_processes=int(nprocs),
             process_id=int(role),
         )
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -38,7 +38,12 @@ def test_two_process_dp_matches_single_process_oracle(tmp_path):
         )
         for i, out in enumerate(outs)
     ]
-    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    try:
+        logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    finally:  # a crashed worker leaves its peer blocked on the coordinator
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     assert all(p.returncode == 0 for p in procs), logs
     oracle_out = str(tmp_path / "oracle.json")
     r = subprocess.run(

@@ -106,15 +106,27 @@ def test_load_bundle_populates_compilation_cache(rng, tmp_path):
     path = str(tmp_path / "m.mcb")
     serve.save_bundle(path, serve.export_predict(model, params, stats, batch))
 
-    cache = tmp_path / "xla_cache"
-    bundle = serve.load_bundle(path, cache_dir=str(cache))
-    first = np.asarray(bundle(batch))
-    assert cache.is_dir() and any(cache.iterdir()), (
-        "persistent compilation cache stayed empty"
-    )
-    # A re-load in the same process must agree (and hits the cache on disk).
-    again = np.asarray(serve.load_bundle(path, cache_dir=str(cache))(batch))
-    np.testing.assert_array_equal(first, again)
+    saved = {
+        k: getattr(jax.config, k)
+        for k in (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_entry_size_bytes",
+            "jax_persistent_cache_min_compile_time_secs",
+        )
+    }
+    try:
+        cache = tmp_path / "xla_cache"
+        bundle = serve.load_bundle(path, cache_dir=str(cache))
+        first = np.asarray(bundle(batch))
+        assert cache.is_dir() and any(cache.iterdir()), (
+            "persistent compilation cache stayed empty"
+        )
+        # A re-load in the same process must agree (hits the cache on disk).
+        again = np.asarray(serve.load_bundle(path, cache_dir=str(cache))(batch))
+        np.testing.assert_array_equal(first, again)
+    finally:  # cache config is process-wide: restore for later tests
+        for k, v in saved.items():
+            jax.config.update(k, v)
 
 
 def test_bucketed_batch_bundle(rng, tmp_path):
@@ -180,6 +192,26 @@ def test_predict_cli_classification_and_seg(tmp_path):
     assert pcio.read_ply(seg_ply)["x"].shape == (64,)
     recs2 = predict_main([seg_ply, "--bundle", seg_mcb])
     assert sum(recs2[0]["label_hist"]) == 64
+
+
+def test_predict_cli_mcclassh_joint_head(tmp_path):
+    """MCClassH bundles output a (joint, path_a, path_b) tuple; the CLI must
+    classify from the joint head, not misroute to the seg branch."""
+    from mccnn_tpu.tasks.export import main as export_main
+    from mccnn_tpu.tasks.predict import main as predict_main
+    from mccnn_tpu.utils import io as pcio
+
+    rng = np.random.default_rng(4)
+    mcb = str(tmp_path / "h.mcb")
+    export_main(
+        ["--model", "MCClassH", "--n-classes", "6", "--grow", "8",
+         "--batch", "2", "--points", "64", "--out", mcb]
+    )
+    f = str(tmp_path / "cloud.txt")
+    pcio.write_points_txt(f, rng.uniform(0, 1, (80, 3)))
+    recs = predict_main([f, "--bundle", mcb])
+    assert recs[0]["label"] in range(6)
+    assert len(recs[0]["top5"]) == 5 and 0 < recs[0]["prob"] <= 1
 
 
 def test_export_cli_roundtrip(tmp_path):
