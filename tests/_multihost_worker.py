@@ -7,7 +7,12 @@ deterministic global batch. Role "oracle" runs the identical computation
 single-process on 8 local devices; the test asserts the losses and final
 parameters agree across the process boundary.
 
-Usage: python _multihost_worker.py {<process_id>|oracle} <nprocs> <port> <out.json>
+Usage: python _multihost_worker.py {<process_id>|oracle} <nprocs> <port> <out.json> [dp|spatial]
+
+Case "dp": data-parallel MCClassS training (global batch from host-local
+slices). Case "spatial": the sharded-hierarchy halo U-Net under shard_map
+with slab shards spanning the process boundary — ``ppermute`` halos cross
+DCN (here: Gloo) between the two middle shards.
 """
 
 import json
@@ -15,8 +20,77 @@ import os
 import sys
 
 
+def run_spatial(role, nprocs):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mccnn_tpu.parallel.sharded_hierarchy import (
+        init_sharded_mcseg,
+        sharded_mcseg_apply,
+    )
+    from mccnn_tpu.parallel.spatial import shard_points_by_slab
+
+    N_SHARDS, cap, radii = 8, 512, (0.08, 0.2)
+    rng = np.random.default_rng(7)
+    n = 2048
+    pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    params = init_sharded_mcseg(jax.random.PRNGKey(1), 8, (16, 32), 5)
+    sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
+    sf = np.zeros((N_SHARDS, cap, 8), np.float32)
+    for s in range(N_SHARDS):
+        valid = sidx[s] >= 0
+        sf[s, valid] = feats[sidx[s][valid]]
+
+    mesh = Mesh(np.asarray(jax.devices()), ("x",))
+    shx = NamedSharding(mesh, P("x"))
+    if role == "oracle":
+        def glob(x):
+            return jax.device_put(x, shx)
+    else:  # feed only this process's slab shards of the global scene
+        per = N_SHARDS // int(nprocs)
+        lo = int(role) * per
+
+        def glob(x):
+            return jax.make_array_from_process_local_data(
+                shx, np.ascontiguousarray(x[lo : lo + per])
+            )
+
+    gp, gm, gf = glob(sp), glob(sm), glob(sf)
+
+    def fn(p, m, f):
+        logits, _, ovf = sharded_mcseg_apply(
+            params, p[0], m[0], f[0], radii=radii, halo_cap=512,
+            axis_name="x", n_shards=N_SHARDS, neighbor_k=16,
+        )
+        return logits[None], ovf[None]
+
+    smapped = shard_map(
+        fn, mesh=mesh, in_specs=(P("x"),) * 3,
+        out_specs=(P("x"), P("x")), check_vma=False,
+    )
+
+    @jax.jit
+    def run(p, m, f):
+        logits, ovf = smapped(p, m, f)
+        w = m[..., None].astype(jnp.float32)
+        return (
+            jnp.sum(jnp.abs(logits) * w),
+            jnp.sum(logits * w),
+            jnp.sum(ovf),
+        )
+
+    a, s, ovf = run(gp, gm, gf)
+    return {"abs_sum": float(a), "sum": float(s), "overflow": int(ovf)}
+
+
 def main():
     role, nprocs, port, outfile = sys.argv[1:5]
+    case = sys.argv[5] if len(sys.argv) > 5 else "dp"
     import jax
 
     # The axon sitecustomize pins the TPU platform; force CPU before any
@@ -40,6 +114,15 @@ def main():
             num_processes=int(nprocs),
             process_id=int(role),
         )
+    if case == "spatial":
+        from mccnn_tpu.parallel.multihost import process_info
+
+        out = {**run_spatial(role, nprocs), **process_info()}
+        with open(outfile, "w") as f:
+            json.dump(out, f)
+        print("done", role, case, out, flush=True)
+        return
+
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

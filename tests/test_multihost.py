@@ -27,6 +27,49 @@ def _free_port() -> int:
     return port
 
 
+def _run_group(case, tmp_path, timeout=900):
+    """Spawn the 2-process group + single-process oracle for ``case``."""
+    port = _free_port()
+    outs = [str(tmp_path / f"{case}{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), out, case],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i, out in enumerate(outs)
+    ]
+    try:
+        logs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    finally:  # a crashed worker leaves its peer blocked on the coordinator
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), logs
+    oracle_out = str(tmp_path / f"{case}_oracle.json")
+    r = subprocess.run(
+        [sys.executable, WORKER, "oracle", "1", "0", oracle_out, case],
+        capture_output=True,
+        timeout=timeout,
+    )
+    assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()
+    w0, w1 = (json.load(open(p)) for p in outs)
+    return w0, w1, json.load(open(oracle_out))
+
+
+def test_two_process_spatial_sharding_matches_oracle(tmp_path):
+    """The halo U-Net under shard_map with slab shards SPANNING the process
+    boundary: ppermute halos between the middle shards cross Gloo (the DCN
+    path), and the result must match the single-process 8-device run."""
+    w0, w1, oracle = _run_group("spatial", tmp_path)
+    assert w0["process_count"] == 2 and w0["global_devices"] == 8
+    assert w0["overflow"] == 0 and oracle["overflow"] == 0
+    np.testing.assert_allclose(w0["abs_sum"], w1["abs_sum"], rtol=1e-6)
+    np.testing.assert_allclose(w0["abs_sum"], oracle["abs_sum"], rtol=1e-5)
+    np.testing.assert_allclose(w0["sum"], oracle["sum"], rtol=1e-4)
+    assert w0["abs_sum"] > 0  # the network actually produced logits
+
+
 def test_two_process_dp_matches_single_process_oracle(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
