@@ -194,6 +194,26 @@ def test_predict_cli_classification_and_seg(tmp_path):
     assert sum(recs2[0]["label_hist"]) == 64
 
 
+def test_predict_cli_normals_branch(tmp_path):
+    from mccnn_tpu.tasks.export import main as export_main
+    from mccnn_tpu.tasks.predict import main as predict_main
+    from mccnn_tpu.utils import io as pcio
+
+    rng = np.random.default_rng(5)
+    mcb = str(tmp_path / "n.mcb")
+    export_main(
+        ["--model", "MCNormS", "--grow", "8", "--batch", "1",
+         "--points", "64", "--out", mcb]
+    )
+    f = str(tmp_path / "cloud.txt")
+    pcio.write_points_txt(f, rng.uniform(0, 1, (70, 3)))
+    viz = str(tmp_path / "viz")
+    recs = predict_main([f, "--bundle", mcb, "--out-dir", viz])
+    assert 0.0 <= recs[0]["mean_abs_nz"] <= 1.0
+    ply = pcio.read_ply(recs[0]["ply"])
+    assert ply["x"].shape == (64,) and "nx" in ply
+
+
 def test_predict_cli_mcclassh_joint_head(tmp_path):
     """MCClassH bundles output a (joint, path_a, path_b) tuple; the CLI must
     classify from the joint head, not misroute to the seg branch."""
