@@ -78,10 +78,34 @@ class ClassificationSource:
         order = np.arange(len(self.clouds))
         if shuffle:
             rng.shuffle(order)
+        use_native = protocol == "uniform" and os.environ.get(
+            "MCCNN_HOST_PIPE", "native"
+        ) != "numpy"
         for start in range(0, len(order), batch_size):
             chunk = order[start : start + batch_size]
             if len(chunk) < batch_size and drop_remainder:
                 return
+            if use_native:
+                # Threaded C++ assembly (sample+augment+normalize in one
+                # call — native/hostpipe.cpp); falls back below if the
+                # library didn't build. RNG streams differ from the numpy
+                # path (both deterministic per seed).
+                from .. import native
+
+                pts = native.assemble_batch(
+                    [self.clouds[i] for i in chunk],
+                    n_points,
+                    seed=int(rng.integers(2**63)),
+                    augment=train_augment,
+                )
+                if pts is not None:
+                    yield {
+                        "points": pts,
+                        "mask": np.ones((len(chunk), n_points), bool),
+                        "labels": self.labels[chunk].astype(np.int32),
+                    }
+                    continue
+                use_native = False
             pts_b, mask_b, lab_b = [], [], []
             for i in chunk:
                 cloud = self.clouds[i]

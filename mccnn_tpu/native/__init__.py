@@ -14,7 +14,10 @@ import sys
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "fastparse.cpp")
+_SRCS = [
+    os.path.join(_DIR, "fastparse.cpp"),
+    os.path.join(_DIR, "hostpipe.cpp"),
+]
 _SO = os.path.join(_DIR, "libmccnn_native.so")
 
 _lib = None
@@ -23,7 +26,7 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _SO, *_SRCS],
             check=True,
             capture_output=True,
         )
@@ -37,7 +40,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
         if not _build():
             _lib = False
             return _lib
@@ -64,6 +68,21 @@ def _load():
     ]
     lib.mccnn_count_rows.restype = ctypes.c_long
     lib.mccnn_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.mccnn_assemble_batch.restype = None
+    lib.mccnn_assemble_batch.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,  # batch
+        ctypes.c_int64,  # n_out
+        ctypes.c_uint64,  # seed
+        ctypes.c_int,  # flags
+        ctypes.c_float,  # jitter_sigma
+        ctypes.c_float,  # jitter_clip
+        ctypes.c_float,  # scale_lo
+        ctypes.c_float,  # scale_hi
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,  # n_threads
+    ]
     _lib = lib
     return _lib
 
@@ -98,6 +117,53 @@ def fast_parse_floats(data: bytes, delimiter: str | None = None) -> np.ndarray:
     if rows > 0 and got % rows == 0:
         return out.reshape(rows, got // rows)
     return out.reshape(1, -1) if got else out.reshape(0, 0)
+
+
+def assemble_batch(
+    clouds: list,
+    n_points: int,
+    seed: int,
+    *,
+    augment: bool = True,
+    jitter_sigma: float = 0.01,
+    jitter_clip: float = 0.05,
+    scale_lo: float = 0.9,
+    scale_hi: float = 1.1,
+    threads: int | None = None,
+) -> np.ndarray | None:
+    """Threaded C++ batch assembly: sample -> rotate-z -> jitter -> scale ->
+    unit-cube normalize for every cloud in one call (the hot host-side path
+    of the reference's DataSet.py, SURVEY §2.2). Deterministic in ``seed``
+    and independent of ``threads``. Returns None when the native library is
+    unavailable (callers fall back to the numpy path)."""
+    lib = _load()
+    if not lib:
+        return None
+    batch = len(clouds)
+    arrs = [np.ascontiguousarray(c, dtype=np.float32) for c in clouds]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * batch)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs]
+    )
+    sizes = np.asarray([len(a) for a in arrs], np.int64)
+    out = np.empty((batch, n_points, 3), np.float32)
+    flags = (1 | 2 | 4) if augment else 0
+    if threads is None:
+        threads = min(batch, os.cpu_count() or 1)
+    lib.mccnn_assemble_batch(
+        ptrs,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        batch,
+        n_points,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        flags,
+        jitter_sigma,
+        jitter_clip,
+        scale_lo,
+        scale_hi,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        threads,
+    )
+    return out
 
 
 def fast_parse_ints(data: bytes) -> np.ndarray:
