@@ -179,10 +179,46 @@ class PartSegSource:
         order = np.arange(len(self.clouds))
         if shuffle:
             rng.shuffle(order)
+        use_native = protocol == "uniform" and os.environ.get(
+            "MCCNN_HOST_PIPE", "native"
+        ) != "numpy"
         for start in range(0, len(order), batch_size):
             chunk = order[start : start + batch_size]
             if len(chunk) < batch_size and drop_remainder:
                 return
+            if use_native:
+                # C++ assembly with the chosen rows returned so the
+                # per-point part labels ride the same sample (no scale
+                # augment here, matching the numpy path below).
+                from .. import native
+
+                res = native.assemble_batch(
+                    [self.clouds[i] for i in chunk],
+                    n_points,
+                    seed=int(rng.integers(2**63)),
+                    rotate=train_augment,
+                    jitter=train_augment,
+                    scale=False,
+                    return_idx=True,
+                )
+                if res is not None:
+                    pts, idx = res
+                    cat = self.categories[chunk].astype(np.int32)
+                    yield {
+                        "points": pts,
+                        "mask": np.ones((len(chunk), n_points), bool),
+                        "labels": np.stack(
+                            [
+                                self.point_labels[i][idx[k]]
+                                for k, i in enumerate(chunk)
+                            ]
+                        ).astype(np.int32),
+                        "category_onehot": np.eye(
+                            self.n_categories, dtype=np.float32
+                        )[cat],
+                    }
+                    continue
+                use_native = False
             pts_b, lab_b, cat_b = [], [], []
             for i in chunk:
                 cloud = self.clouds[i]

@@ -81,6 +81,7 @@ def _load():
         ctypes.c_float,  # scale_lo
         ctypes.c_float,  # scale_hi
         ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),  # out_idx (nullable)
         ctypes.c_int,  # n_threads
     ]
     _lib = lib
@@ -125,17 +126,24 @@ def assemble_batch(
     seed: int,
     *,
     augment: bool = True,
+    rotate: bool | None = None,
+    jitter: bool | None = None,
+    scale: bool | None = None,
     jitter_sigma: float = 0.01,
     jitter_clip: float = 0.05,
     scale_lo: float = 0.9,
     scale_hi: float = 1.1,
+    return_idx: bool = False,
     threads: int | None = None,
-) -> np.ndarray | None:
+):
     """Threaded C++ batch assembly: sample -> rotate-z -> jitter -> scale ->
     unit-cube normalize for every cloud in one call (the hot host-side path
     of the reference's DataSet.py, SURVEY §2.2). Deterministic in ``seed``
-    and independent of ``threads``. Returns None when the native library is
-    unavailable (callers fall back to the numpy path)."""
+    and independent of ``threads``. ``rotate``/``jitter``/``scale`` default
+    to ``augment``; ``return_idx=True`` additionally returns the chosen
+    source rows (batch, n_points) so callers can gather per-point payloads
+    (labels, normals). Returns None when the native library is unavailable
+    (callers fall back to the numpy path)."""
     lib = _load()
     if not lib:
         return None
@@ -146,7 +154,14 @@ def assemble_batch(
     )
     sizes = np.asarray([len(a) for a in arrs], np.int64)
     out = np.empty((batch, n_points, 3), np.float32)
-    flags = (1 | 2 | 4) if augment else 0
+    flags = 0
+    if augment if rotate is None else rotate:
+        flags |= 1
+    if augment if jitter is None else jitter:
+        flags |= 2
+    if augment if scale is None else scale:
+        flags |= 4
+    idx = np.empty((batch, n_points), np.int64) if return_idx else None
     if threads is None:
         threads = min(batch, os.cpu_count() or 1)
     lib.mccnn_assemble_batch(
@@ -161,9 +176,12 @@ def assemble_batch(
         scale_lo,
         scale_hi,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if idx is not None
+        else None,
         threads,
     )
-    return out
+    return (out, idx) if return_idx else out
 
 
 def fast_parse_ints(data: bytes) -> np.ndarray:

@@ -53,6 +53,7 @@ extern "C" void mccnn_assemble_batch(
     uint64_t seed, int flags, float jitter_sigma, float jitter_clip,
     float scale_lo, float scale_hi,
     float* out,  // (batch, n_out, 3) f32
+    int64_t* out_idx,  // (batch, n_out) chosen source rows, or nullptr
     int n_threads) {
   auto work = [&](int64_t b0, int64_t b1) {
     std::vector<int64_t> idx;
@@ -79,6 +80,10 @@ extern "C" void mccnn_assemble_batch(
           idx.push_back(j);
         }
       }
+
+      if (out_idx != nullptr)
+        for (int64_t i = 0; i < n_out; ++i)
+          out_idx[b * n_out + i] = idx[(size_t)i];
 
       float c = 1.f, sn = 0.f;
       if (flags & kRotateZ) {

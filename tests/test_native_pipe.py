@@ -75,6 +75,58 @@ def test_rotation_preserves_xy_radii(rng):
     assert ratio.std() / ratio.mean() < 1e-3
 
 
+def test_return_idx_reconstructs_points_exactly(rng):
+    clouds = _clouds(rng, [300, 80])
+    pts, idx = native.assemble_batch(
+        clouds, 128, seed=11, augment=False, return_idx=True
+    )
+    assert idx.shape == (2, 128)
+    for b in range(2):
+        n = len(clouds[b])
+        assert (idx[b] >= 0).all() and (idx[b] < n).all()
+        if n >= 128:  # without replacement
+            assert len(np.unique(idx[b])) == 128
+        np.testing.assert_allclose(
+            pts[b], _normalize_np(clouds[b][idx[b]]), atol=1e-6
+        )
+
+
+def test_partseg_batches_native_labels_follow_points(rng, monkeypatch):
+    from mccnn_tpu.data.datasets import PartSegSource
+
+    clouds = _clouds(rng, [200] * 4)
+    # label = x-octant of the point, so a correct gather is checkable from
+    # the (un-augmented) output geometry
+    labels = [(c[:, 0] > c[:, 0].mean()).astype(np.int32) for c in clouds]
+    src = PartSegSource(
+        clouds=[_normalize_np(c) for c in clouds],
+        point_labels=labels,
+        categories=np.zeros(4, np.int32),
+        n_categories=1,
+        n_parts=2,
+    )
+    b = next(src.batches(4, 64, np.random.default_rng(0)))
+    assert b["points"].shape == (4, 64, 3)
+    assert b["labels"].shape == (4, 64)
+    assert set(np.unique(b["labels"])) <= {0, 1}
+    assert b["category_onehot"].shape == (4, 1)
+    # replay the batches() RNG stream to recover the exact native call and
+    # check labels were gathered with the SAME rows as the points
+    g = np.random.default_rng(0)
+    order = np.arange(4)
+    g.shuffle(order)
+    seed = int(g.integers(2**63))
+    pts, idx = native.assemble_batch(
+        [src.clouds[i] for i in order], 64, seed=seed,
+        rotate=False, jitter=False, scale=False, return_idx=True,
+    )
+    np.testing.assert_array_equal(b["points"], pts)
+    want_labels = np.stack(
+        [labels[i][idx[k]] for k, i in enumerate(order)]
+    )
+    np.testing.assert_array_equal(b["labels"], want_labels)
+
+
 def test_batches_native_path_and_numpy_fallback(rng, monkeypatch):
     from mccnn_tpu.data.datasets import ClassificationSource
 

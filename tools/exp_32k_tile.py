@@ -1,5 +1,6 @@
 """32k surface-scene bench for the z-order tile kernel (run on real TPU)."""
-import time, sys
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from mccnn_tpu.core import init_mcconv_params
 from mccnn_tpu.ops.pallas.tile_conv import tile_mc_conv, count_tile_pairs
