@@ -312,10 +312,40 @@ class SceneSegSource:
     ) -> Iterator[dict]:
         n_blocks = blocks_per_epoch or max(len(self.scenes), batch_size)
         scene_ids = rng.integers(0, len(self.scenes), size=n_blocks)
+        use_native = protocol == "uniform" and os.environ.get(
+            "MCCNN_HOST_PIPE", "native"
+        ) != "numpy"
         for start in range(0, n_blocks, batch_size):
             chunk = scene_ids[start : start + batch_size]
             if len(chunk) < batch_size and drop_remainder:
                 return
+            if use_native:
+                # Block select + sample + augment + normalize in one
+                # threaded C++ call (native/hostpipe.cpp), labels gathered
+                # from the returned scene rows.
+                from .. import native
+
+                res = native.extract_blocks(
+                    [self.scenes[si] for si in chunk],
+                    n_points,
+                    self.block_size,
+                    seed=int(rng.integers(2**63)),
+                    augment=train_augment,
+                )
+                if res is not None:
+                    pts, idx, m = res
+                    yield {
+                        "points": pts,
+                        "mask": m,
+                        "labels": np.stack(
+                            [
+                                self.labels[si][idx[k]]
+                                for k, si in enumerate(chunk)
+                            ]
+                        ).astype(np.int32),
+                    }
+                    continue
+                use_native = False
             pts_b, lab_b, mask_b = [], [], []
             for si in chunk:
                 pts, lab = self.scenes[si], self.labels[si]

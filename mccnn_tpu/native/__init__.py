@@ -84,6 +84,22 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),  # out_idx (nullable)
         ctypes.c_int,  # n_threads
     ]
+    lib.mccnn_extract_blocks.restype = None
+    lib.mccnn_extract_blocks.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,  # batch
+        ctypes.c_float,  # half block size
+        ctypes.c_int64,  # n_out
+        ctypes.c_uint64,  # seed
+        ctypes.c_int,  # flags
+        ctypes.c_float,  # jitter_sigma
+        ctypes.c_float,  # jitter_clip
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,  # n_threads
+    ]
     _lib = lib
     return _lib
 
@@ -182,6 +198,54 @@ def assemble_batch(
         threads,
     )
     return (out, idx) if return_idx else out
+
+
+def extract_blocks(
+    scenes: list,
+    n_points: int,
+    block_size: float,
+    seed: int,
+    *,
+    augment: bool = False,
+    jitter_sigma: float = 0.005,
+    jitter_clip: float = 0.02,
+    threads: int | None = None,
+):
+    """ScanNet-style block batching in C++ (SURVEY §5.7): random block
+    center from the scene's own points (retrying empty columns), collect the
+    xy column, sample/pad to ``n_points``, rotate-z + jitter, unit-cube
+    normalize. Returns ``(points, idx, mask)`` with ``idx`` the scene rows
+    (for label gathers) — or None when the native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    batch = len(scenes)
+    arrs = [np.ascontiguousarray(s, dtype=np.float32) for s in scenes]
+    ptrs = (ctypes.POINTER(ctypes.c_float) * batch)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs]
+    )
+    sizes = np.asarray([len(a) for a in arrs], np.int64)
+    out = np.empty((batch, n_points, 3), np.float32)
+    idx = np.empty((batch, n_points), np.int64)
+    mask = np.empty((batch, n_points), np.uint8)
+    if threads is None:
+        threads = min(batch, os.cpu_count() or 1)
+    lib.mccnn_extract_blocks(
+        ptrs,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        batch,
+        block_size / 2.0,
+        n_points,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        (1 | 2) if augment else 0,
+        jitter_sigma,
+        jitter_clip,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads,
+    )
+    return out, idx, mask.astype(bool)
 
 
 def fast_parse_ints(data: bytes) -> np.ndarray:

@@ -127,6 +127,56 @@ def test_partseg_batches_native_labels_follow_points(rng, monkeypatch):
     np.testing.assert_array_equal(b["labels"], want_labels)
 
 
+def test_extract_blocks_columns_and_labels(rng):
+    # one dense scene: points live in [0,4]^2 x [0,1]
+    scene = rng.uniform(0, 4, (5000, 3)).astype(np.float32)
+    scene[:, 2] /= 4.0
+    pts, idx, mask = native.extract_blocks(
+        [scene, scene], 256, block_size=1.0, seed=9, augment=False
+    )
+    assert pts.shape == (2, 256, 3) and mask.all()
+    for b in range(2):
+        rows = scene[idx[b]]
+        # all chosen rows lie in ONE 1.0-wide xy column
+        assert rows[:, 0].max() - rows[:, 0].min() <= 1.0 + 1e-6
+        assert rows[:, 1].max() - rows[:, 1].min() <= 1.0 + 1e-6
+        # output is the normalized gather of those rows
+        np.testing.assert_allclose(
+            pts[b], _normalize_np(rows), atol=1e-6
+        )
+    # determinism + seed sensitivity
+    again = native.extract_blocks(
+        [scene, scene], 256, block_size=1.0, seed=9, augment=False
+    )
+    np.testing.assert_array_equal(idx, again[1])
+    other = native.extract_blocks(
+        [scene, scene], 256, block_size=1.0, seed=10, augment=False
+    )
+    assert (idx != other[1]).any()
+
+
+def test_scene_batches_native_matches_replayed_call(rng):
+    from mccnn_tpu.data.datasets import SceneSegSource
+
+    scenes = [rng.uniform(0, 3, (3000, 3)).astype(np.float32) for _ in range(2)]
+    labels = [rng.integers(0, 5, size=3000).astype(np.int32) for _ in range(2)]
+    src = SceneSegSource(scenes=scenes, labels=labels, n_classes=5,
+                         block_size=1.5)
+    b = next(src.batches(2, 128, np.random.default_rng(0)))
+    assert b["points"].shape == (2, 128, 3)
+    assert b["labels"].shape == (2, 128) and b["mask"].all()
+    # labels gathered with the same rows as the points (replay the stream)
+    g = np.random.default_rng(0)
+    chunk = g.integers(0, 2, size=2)
+    seed = int(g.integers(2**63))
+    pts, idx, _ = native.extract_blocks(
+        [scenes[si] for si in chunk], 128, 1.5, seed=seed, augment=False
+    )
+    np.testing.assert_array_equal(b["points"], pts)
+    want = np.stack([labels[si][idx[k]] for k, si in enumerate(chunk)])
+    np.testing.assert_array_equal(b["labels"], want)
+
+
 def test_batches_native_path_and_numpy_fallback(rng, monkeypatch):
     from mccnn_tpu.data.datasets import ClassificationSource
 
