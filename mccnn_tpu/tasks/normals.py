@@ -49,10 +49,41 @@ class NormalsSource:
         from ..data.datasets import _normalize_np
         from ..data.sampling_protocols import draw
 
+        import os as _os
+
+        use_native = protocol == "uniform" and _os.environ.get(
+            "MCCNN_HOST_PIPE", "native"
+        ) != "numpy"
         for start in range(0, len(order), batch_size):
             chunk = order[start : start + batch_size]
             if len(chunk) < batch_size and drop_remainder:
                 return
+            if use_native:
+                # C++ sample+normalize (no augmentation on this task);
+                # ground-truth normals gathered with the returned rows.
+                from .. import native
+
+                res = native.assemble_batch(
+                    [self.clouds[i] for i in chunk],
+                    n_points,
+                    seed=int(rng.integers(2**63)),
+                    augment=False,
+                    return_idx=True,
+                )
+                if res is not None:
+                    pts, idx = res
+                    yield {
+                        "points": pts,
+                        "mask": np.ones((len(chunk), n_points), bool),
+                        "normals": np.stack(
+                            [
+                                self.normals[i][idx[k]]
+                                for k, i in enumerate(chunk)
+                            ]
+                        ).astype(np.float32),
+                    }
+                    continue
+                use_native = False
             pts_b, nrm_b = [], []
             for i in chunk:
                 idx = draw(protocol, self.clouds[i], n_points, rng,
