@@ -198,26 +198,28 @@ def train_spatial(args) -> dict:
     devices (SURVEY §5.7; VERDICT r1 #4): slabs along x, halo exchange over
     ICI, hierarchy built by the boundary-reconciled sharded Poisson sampler.
     Unlike the block path (reference parity), cross-block context flows
-    through the halos — one scene = one global training example."""
+    through the halos — one scene = one global training example.
+    ``--data-shards D`` composes data parallelism on top: D scenes per step
+    on a 2-D ('data', 'spatial') mesh (parallel/dp_spatial.py)."""
     import jax
     import optax
-    from jax import shard_map
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel.sharded_hierarchy import (
-        init_sharded_mcseg,
-        sharded_mcseg_apply,
+    from ..parallel.dp_spatial import (
+        dp_spatial_mesh,
+        group_scenes,
+        make_dp_spatial_step,
     )
+    from ..parallel.sharded_hierarchy import init_sharded_mcseg
     from ..parallel.spatial import shard_points_by_slab
     from ..train.metrics import MetricsLogger
 
     n_sh = args.spatial_shards
-    devs = jax.devices()
-    if len(devs) < n_sh:
-        raise SystemExit(
-            f"--spatial-shards {n_sh} needs {n_sh} devices, have {len(devs)}"
-        )
-    mesh = Mesh(np.asarray(devs[:n_sh]), ("spatial",))
+    d_sh = getattr(args, "data_shards", 1) or 1
+    try:
+        mesh = dp_spatial_mesh(d_sh, n_sh)
+    except ValueError as e:
+        raise SystemExit(str(e))
     radii = (0.02, 0.04)  # unit-cube scenes; conv radius 2x stays < slab/2
     halo_cap = args.halo_cap
 
@@ -262,7 +264,9 @@ def train_spatial(args) -> dict:
             sl[s, v] = lab[sidx[s][v]]
         return sp, sm, sf, sl
 
-    sharded = [shard_scene(p, l) for p, l in zip(scenes, labels)]
+    sharded = group_scenes(
+        [shard_scene(p, l) for p, l in zip(scenes, labels)], d_sh
+    )
 
     params = init_sharded_mcseg(
         jax.random.PRNGKey(args.seed), 1, (args.grow or 16, 2 * (args.grow or 16)),
@@ -273,56 +277,15 @@ def train_spatial(args) -> dict:
     repl = NamedSharding(mesh, P())
     params, opt_state = jax.device_put((params, opt_state), repl)
 
-    p_spec = jax.tree.map(lambda _: P(), params)
     # per-shard compute on the fused dense Pallas kernel where available
     backend = "dense" if jax.default_backend() == "tpu" else "jnp"
-    sh = P("spatial")
-
-    def apply_sharded(params, sp, sm, sf, masks):
-        """masks: None (build the hierarchy this step and return it) or the
-        cached per-shard level-mask tuple from a previous step on the SAME
-        scene (points are static across epochs — no augmentation here)."""
-
-        def fn(params, p_, m_, f_, *mk_):
-            lm = [m[0] for m in mk_] if mk_ else None
-            logits, lms, ovf = sharded_mcseg_apply(
-                params, p_[0], m_[0], f_[0], radii=radii, halo_cap=halo_cap,
-                axis_name="spatial", n_shards=n_sh, neighbor_k=16,
-                level_masks=lm, backend=backend,
-            )
-            return logits[None], ovf[None], tuple(m[None] for m in lms)
-
-        n_masks = 0 if masks is None else len(masks)
-        return shard_map(
-            fn, mesh=mesh,
-            in_specs=(p_spec, sh, sh, sh) + (sh,) * n_masks,
-            out_specs=(sh, sh, (sh,) * (len(radii) + 1)),
-            check_vma=False,
-        )(params, sp, sm, sf, *(masks or ()))
-
-    def loss_fn(params, sp, sm, sf, sl, masks):
-        logits, ovf, lms = apply_sharded(params, sp, sm, sf, masks)
-        logp = jax.nn.log_softmax(logits)
-        ll = jnp.take_along_axis(logp, sl[..., None], axis=-1)[..., 0]
-        m = sm.astype(jnp.float32)
-        loss = -(ll * m).sum() / jnp.maximum(m.sum(), 1.0)
-        acc = (((logits.argmax(-1) == sl) & sm).sum() / jnp.maximum(m.sum(), 1.0))
-        return loss, (acc, ovf.sum(), jax.tree.map(jax.lax.stop_gradient, lms))
-
-    def make_step(with_masks):
-        def step(params, opt_state, sp, sm, sf, sl, *masks):
-            (loss, (acc, ovf, lms)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, sp, sm, sf, sl, masks if with_masks else None)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (
-                optax.apply_updates(params, updates), opt_state, loss, acc,
-                ovf, lms,
-            )
-
-        return jax.jit(step)
-
-    step_build, step_reuse = make_step(False), make_step(True)
+    # masks passed to step_reuse are the cached per-shard level-mask tuples
+    # from a previous step on the SAME scene group (points are static across
+    # epochs — no augmentation here)
+    step_build, step_reuse = make_dp_spatial_step(
+        mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16,
+        backend=backend,
+    )
     mask_cache: dict[int, tuple] = {}
 
     metrics = MetricsLogger(args.log_dir, args.run_name or "scannet_spatial")
@@ -355,6 +318,7 @@ def train_spatial(args) -> dict:
                 "loss": float(loss),
                 "point_accuracy": float(acc),
                 "shards": n_sh,
+                "data_shards": d_sh,
                 "backend": backend,
             }
             metrics.log(it, tag="train_spatial", epoch=epoch, **last)
@@ -376,6 +340,14 @@ def main(argv=None):
     )
     p.add_argument("--halo-cap", type=int, default=1024)
     p.add_argument(
+        "--data-shards",
+        type=int,
+        default=1,
+        help="with --spatial-shards S: train this many spatially-sharded "
+        "scenes concurrently on a ('data', 'spatial') 2-D mesh (needs "
+        "D*S devices)",
+    )
+    p.add_argument(
         "--tile-pairs",
         type=int,
         default=None,
@@ -394,7 +366,7 @@ def main(argv=None):
     p.set_defaults(points=8192, batch=8)
     args = p.parse_args(argv)
 
-    if args.spatial_shards > 1:
+    if args.spatial_shards > 1 or getattr(args, "data_shards", 1) > 1:
         return train_spatial(args)
 
     rng = np.random.default_rng(args.seed)
