@@ -201,6 +201,8 @@ def train_spatial(args) -> dict:
     through the halos — one scene = one global training example.
     ``--data-shards D`` composes data parallelism on top: D scenes per step
     on a 2-D ('data', 'spatial') mesh (parallel/dp_spatial.py)."""
+    import signal
+
     import jax
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -212,7 +214,9 @@ def train_spatial(args) -> dict:
     )
     from ..parallel.sharded_hierarchy import init_sharded_mcseg
     from ..parallel.spatial import shard_points_by_slab
+    from ..train.checkpoint import Checkpointer
     from ..train.metrics import MetricsLogger
+    from ..train.state import TrainState
 
     n_sh = args.spatial_shards
     d_sh = getattr(args, "data_shards", 1) or 1
@@ -221,7 +225,6 @@ def train_spatial(args) -> dict:
     except ValueError as e:
         raise SystemExit(str(e))
     radii = (0.02, 0.04)  # unit-cube scenes; conv radius 2x stays < slab/2
-    halo_cap = args.halo_cap
 
     rng = np.random.default_rng(args.seed)
     # Same data pipeline as the unsharded path (VERDICT r2 #5): whole scenes
@@ -246,6 +249,8 @@ def train_spatial(args) -> dict:
         labels.append(np.asarray(lab, np.int32))
 
     cap = int(-(-max(len(s) for s in scenes) * 2 // n_sh // 8) * 8)
+    # the halo buffer packs from a shard's cap slots, so halo_cap <= cap
+    halo_cap = min(args.halo_cap, cap)
 
     def shard_scene(pts, lab):
         # pad short scenes to the shared static budget (masked out)
@@ -274,6 +279,27 @@ def train_spatial(args) -> dict:
     )
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
+
+    # Checkpoint/resume + preemption safety — same contract as the Runner
+    # path (SURVEY §5.3/§5.4): full (params, opt_state, step) round-trips
+    # through orbax, SIGTERM/SIGINT snapshot before exit, --resume continues
+    # at the saved epoch. The Checkpointer's TrainState wrapper carries empty
+    # batch_stats (the sharded MCSeg has none) and a dummy rng.
+    run_name = args.run_name or "scannet_spatial"
+    ckpt = Checkpointer(args.ckpt_dir or f"ckpts/{run_name}")
+
+    def wrap(step_i: int) -> TrainState:
+        return TrainState(
+            step=jnp.asarray(step_i, jnp.int32), params=params,
+            batch_stats={}, opt_state=opt_state, rng=jax.random.PRNGKey(0),
+        )
+
+    start_epoch = 0
+    if args.resume:
+        restored, extra = ckpt.restore(jax.device_get(wrap(0)))
+        params, opt_state = restored.params, restored.opt_state
+        start_epoch = int(extra.get("epoch", 0))
+
     repl = NamedSharding(mesh, P())
     params, opt_state = jax.device_put((params, opt_state), repl)
 
@@ -288,11 +314,30 @@ def train_spatial(args) -> dict:
     )
     mask_cache: dict[int, tuple] = {}
 
-    metrics = MetricsLogger(args.log_dir, args.run_name or "scannet_spatial")
-    it = 0
+    metrics = MetricsLogger(args.log_dir, run_name)
+    it = start_epoch * (args.steps_per_epoch or len(sharded))
     last = {}
+    cur_epoch = start_epoch
+
+    def snapshot(epoch_done: int) -> None:
+        ckpt.save(jax.device_get(wrap(it)), extra={"epoch": epoch_done})
+
+    def handler(signum, frame):
+        try:
+            snapshot(cur_epoch)
+            metrics.log(it, tag="preempt", signal=int(signum))
+        finally:
+            raise SystemExit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except ValueError:  # not the main thread (e.g. under pytest-xdist)
+            pass
+
     with mesh:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
+            cur_epoch = epoch
             for i, (sp, sm, sf, sl) in enumerate(sharded):
                 batch = (
                     jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf),
@@ -322,7 +367,11 @@ def train_spatial(args) -> dict:
                 "backend": backend,
             }
             metrics.log(it, tag="train_spatial", epoch=epoch, **last)
+            snapshot(epoch + 1)
     metrics.close()
+    ckpt.close()
+    last["start_epoch"] = start_epoch
+    last["step"] = it
     return last
 
 

@@ -206,6 +206,26 @@ def test_scannet_dp_spatial_composed_cli(tmp_path):
     assert res["shards"] == 4 and res["data_shards"] == 2
 
 
+def test_scannet_spatial_checkpoint_resume(tmp_path):
+    """The spatial-sharded trainer has the same checkpoint/resume contract as
+    the Runner path: epoch 1 snapshots to --ckpt-dir; a --resume run skips
+    straight to epoch 2 and continues the step counter."""
+    from mccnn_tpu.tasks import scannet
+
+    common = [
+        "--synthetic", "--spatial-shards", "4", "--points", "1024",
+        "--steps-per-epoch", "2", "--grow", "8",
+        "--ckpt-dir", str(tmp_path / "ck"), "--log-dir", str(tmp_path / "lg"),
+    ]
+    res1 = scannet.main(common + ["--epochs", "1"])
+    assert res1["start_epoch"] == 0 and res1["step"] == 2
+
+    res2 = scannet.main(common + ["--epochs", "2", "--resume"])
+    assert res2["start_epoch"] == 1  # epoch 0 was NOT retrained
+    assert res2["step"] == 4
+    assert np.isfinite(res2["loss"])
+
+
 def test_parity_harness_synthetic(tmp_path):
     """One-command accuracy-parity harness (VERDICT r1 #5): runs end-to-end
     on synthetic data and emits a machine-checkable verdict."""
