@@ -7,17 +7,88 @@ deterministic global batch. Role "oracle" runs the identical computation
 single-process on 8 local devices; the test asserts the losses and final
 parameters agree across the process boundary.
 
-Usage: python _multihost_worker.py {<process_id>|oracle} <nprocs> <port> <out.json> [dp|spatial]
+Usage: python _multihost_worker.py {<process_id>|oracle} <nprocs> <port> <out.json> [dp|spatial|dpspatial]
 
 Case "dp": data-parallel MCClassS training (global batch from host-local
 slices). Case "spatial": the sharded-hierarchy halo U-Net under shard_map
 with slab shards spanning the process boundary — ``ppermute`` halos cross
-DCN (here: Gloo) between the two middle shards.
+DCN (here: Gloo) between the two middle shards. Case "dpspatial": TWO
+composed train steps on a 2-D ('data', 'spatial') mesh whose data rows are
+the two processes — halo exchange stays intra-process ("ICI") while the
+gradient all-reduce crosses the process boundary ("DCN"), the layout a real
+pod would use (parallel/dp_spatial.py).
 """
 
 import json
 import os
 import sys
+
+
+def run_dp_spatial(role, nprocs):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mccnn_tpu.parallel.dp_spatial import (
+        dp_spatial_mesh,
+        group_scenes,
+        make_dp_spatial_step,
+    )
+    from mccnn_tpu.parallel.sharded_hierarchy import init_sharded_mcseg
+    from mccnn_tpu.parallel.spatial import shard_points_by_slab
+
+    D, S, cap, n_cls = 2, 4, 384, 5
+    rng = np.random.default_rng(3)  # identical scenes in every process
+    scenes = []
+    for _ in range(D):
+        n = 1024
+        pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        lab = rng.integers(0, n_cls, size=n).astype(np.int32)
+        sp, sm, sidx = shard_points_by_slab(pts, np.ones(n, bool), S, cap)
+        sf = np.ones((S, cap, 1), np.float32)
+        sl = np.zeros((S, cap), np.int32)
+        for s in range(S):
+            v = sidx[s] >= 0
+            sl[s, v] = lab[sidx[s][v]]
+        scenes.append((sp, sm, sf, sl))
+    (group,) = group_scenes(scenes, D)  # (D, S, cap, ...)
+
+    mesh = dp_spatial_mesh(D, S)
+    sh = NamedSharding(mesh, P("data", "spatial"))
+    if role == "oracle":
+        def glob(x):
+            return jax.device_put(x, sh)
+    else:  # each process feeds ONLY its data row (its own scene)
+        per = D // int(nprocs)
+        lo = int(role) * per
+
+        def glob(x):
+            return jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x[lo : lo + per])
+            )
+
+    batch = tuple(glob(x) for x in group)
+    params = init_sharded_mcseg(jax.random.PRNGKey(1), 1, (8, 8), n_cls)
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+    repl = NamedSharding(mesh, P())
+    params, opt = jax.device_put((params, opt), repl)
+    step_build, step_reuse = make_dp_spatial_step(
+        mesh, tx, radii=(0.06, 0.12), halo_cap=cap, neighbor_k=8
+    )
+    with mesh:
+        params, opt, l0, _, ovf0, lms = step_build(params, opt, *batch)
+        params, opt, l1, _, ovf1, _ = step_reuse(params, opt, *batch, *lms)
+    checksum = float(
+        sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params))
+    )
+    return {
+        "losses": [float(l0), float(l1)],
+        "checksum": checksum,
+        "overflow": int(ovf0) + int(ovf1),
+    }
 
 
 def run_spatial(role, nprocs):
@@ -114,10 +185,11 @@ def main():
             num_processes=int(nprocs),
             process_id=int(role),
         )
-    if case == "spatial":
+    if case in ("spatial", "dpspatial"):
         from mccnn_tpu.parallel.multihost import process_info
 
-        out = {**run_spatial(role, nprocs), **process_info()}
+        runner = run_spatial if case == "spatial" else run_dp_spatial
+        out = {**runner(role, nprocs), **process_info()}
         with open(outfile, "w") as f:
             json.dump(out, f)
         print("done", role, case, out, flush=True)

@@ -70,6 +70,22 @@ def test_two_process_spatial_sharding_matches_oracle(tmp_path):
     assert w0["abs_sum"] > 0  # the network actually produced logits
 
 
+def test_two_process_dp_spatial_composed_matches_oracle(tmp_path):
+    """Composed DP x spatial TRAINING on a 2-D ('data','spatial') mesh whose
+    data rows are the two processes: halos stay intra-process (ICI) while the
+    gradient all-reduce crosses Gloo (DCN) — the layout a real pod uses. Two
+    steps (build + mask-reuse) must match the single-process 8-device oracle
+    in losses and final parameters, with zero halo overflow."""
+    w0, w1, oracle = _run_group("dpspatial", tmp_path)
+    assert w0["process_count"] == 2 and w0["global_devices"] == 8
+    assert w0["overflow"] == 0 and oracle["overflow"] == 0
+    np.testing.assert_allclose(w0["losses"], w1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(w0["checksum"], w1["checksum"], rtol=1e-6)
+    np.testing.assert_allclose(w0["losses"], oracle["losses"], rtol=1e-5)
+    np.testing.assert_allclose(w0["checksum"], oracle["checksum"], rtol=1e-5)
+    assert w0["losses"][1] < w0["losses"][0]  # it is actually training
+
+
 def test_two_process_dp_matches_single_process_oracle(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
