@@ -118,6 +118,40 @@ def make_dp_spatial_step(
     return make(False), make(True)
 
 
+def make_dp_spatial_eval(
+    mesh: Mesh,
+    *,
+    radii: Sequence[float],
+    halo_cap: int,
+    neighbor_k: int = 16,
+    backend: str = "jnp",
+):
+    """Jitted forward over a ``(D, S, cap, ...)`` scene group: returns
+    ``(logits, halo_overflow)`` for metric computation (no grads, hierarchy
+    built in-call). Same layout contract as ``make_dp_spatial_step``."""
+    n_sh = mesh.shape[AXIS_SPATIAL]
+    sh = P(AXIS_DATA, AXIS_SPATIAL)
+
+    def apply_fn(params, sp, sm, sf):
+        p_spec = jax.tree.map(lambda _: P(), params)
+
+        def fn(params, p_, m_, f_):
+            logits, _, ovf = sharded_mcseg_apply(
+                params, p_[0, 0], m_[0, 0], f_[0, 0], radii=radii,
+                halo_cap=halo_cap, axis_name=AXIS_SPATIAL, n_shards=n_sh,
+                neighbor_k=neighbor_k, backend=backend,
+            )
+            return logits[None, None], ovf[None, None]
+
+        logits, ovf = shard_map(
+            fn, mesh=mesh, in_specs=(p_spec, sh, sh, sh),
+            out_specs=(sh, sh), check_vma=False,
+        )(params, sp, sm, sf)
+        return logits, ovf.sum()
+
+    return jax.jit(apply_fn)
+
+
 def group_scenes(sharded: list, data_shards: int):
     """Stack per-scene ``(S, cap, ...)`` tuples into ``(D, S, cap, ...)``
     groups of ``data_shards`` scenes. A final short group is padded with

@@ -295,7 +295,7 @@ def train_spatial(args) -> dict:
         )
 
     start_epoch = 0
-    if args.resume:
+    if args.resume or args.eval_only:
         restored, extra = ckpt.restore(jax.device_get(wrap(0)))
         params, opt_state = restored.params, restored.opt_state
         start_epoch = int(extra.get("epoch", 0))
@@ -336,7 +336,7 @@ def train_spatial(args) -> dict:
             pass
 
     with mesh:
-        for epoch in range(start_epoch, args.epochs):
+        for epoch in range(start_epoch, 0 if args.eval_only else args.epochs):
             cur_epoch = epoch
             for i, (sp, sm, sf, sl) in enumerate(sharded):
                 batch = (
@@ -368,6 +368,37 @@ def train_spatial(args) -> dict:
             }
             metrics.log(it, tag="train_spatial", epoch=epoch, **last)
             snapshot(epoch + 1)
+
+        # Final sharded-forward eval over the scene set (per-class IoU +
+        # point accuracy — the block path's metric contract). The spatial
+        # path trains whole scenes with no block resampling, so this is an
+        # eval over the training scenes unless --data points elsewhere.
+        from ..parallel.dp_spatial import make_dp_spatial_eval
+
+        eval_fn = make_dp_spatial_eval(
+            mesh, radii=radii, halo_cap=halo_cap, neighbor_k=16,
+            backend=backend,
+        )
+        inter = np.zeros(n_classes, np.int64)
+        union = np.zeros(n_classes, np.int64)
+        correct = total = 0
+        for sp, sm, sf, sl in sharded:
+            logits, _ = eval_fn(
+                params, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf)
+            )
+            pred = np.asarray(logits).argmax(-1)
+            m = np.asarray(sm)
+            correct += int(((pred == sl) & m).sum())
+            total += int(m.sum())
+            for c in range(n_classes):
+                pc, tc = (pred == c) & m, (sl == c) & m
+                inter[c] += int((pc & tc).sum())
+                union[c] += int((pc | tc).sum())
+        seen = union > 0
+        last["mIoU"] = float((inter[seen] / np.maximum(union[seen], 1)).mean())
+        last["eval_point_accuracy"] = correct / max(total, 1)
+        metrics.log(it, tag="eval", **{k: last[k] for k in
+                                       ("mIoU", "eval_point_accuracy")})
     metrics.close()
     ckpt.close()
     last["start_epoch"] = start_epoch

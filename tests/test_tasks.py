@@ -224,6 +224,12 @@ def test_scannet_spatial_checkpoint_resume(tmp_path):
     assert res2["start_epoch"] == 1  # epoch 0 was NOT retrained
     assert res2["step"] == 4
     assert np.isfinite(res2["loss"])
+    assert 0.0 <= res2["mIoU"] <= 1.0  # final sharded-forward eval ran
+
+    # --eval-only restores the checkpoint and evaluates without training
+    res3 = scannet.main(common + ["--epochs", "2", "--eval-only"])
+    assert res3["start_epoch"] == 2 and "loss" not in res3
+    np.testing.assert_allclose(res3["mIoU"], res2["mIoU"], rtol=1e-6)
 
 
 def test_parity_harness_synthetic(tmp_path):
