@@ -269,9 +269,23 @@ def train_spatial(args) -> dict:
             sl[s, v] = lab[sidx[s][v]]
         return sp, sm, sf, sl
 
-    sharded = group_scenes(
-        [shard_scene(p, l) for p, l in zip(scenes, labels)], d_sh
-    )
+    def build_groups(aug_rng=None):
+        """Shard the scene set into (D, S, cap, ...) groups; with an rng,
+        apply the reference's per-epoch augmentation (rotation about up +
+        jitter, re-normalized) before re-slabbing on the host."""
+        cur = scenes
+        if aug_rng is not None:
+            from ..data.augment import jitter, rotate_z
+
+            cur = [
+                _normalize_np(jitter(rotate_z(s, aug_rng), aug_rng))
+                for s in scenes
+            ]
+        return group_scenes(
+            [shard_scene(p, l) for p, l in zip(cur, labels)], d_sh
+        )
+
+    sharded = build_groups()
 
     params = init_sharded_mcseg(
         jax.random.PRNGKey(args.seed), 1, (args.grow or 16, 2 * (args.grow or 16)),
@@ -338,12 +352,15 @@ def train_spatial(args) -> dict:
     with mesh:
         for epoch in range(start_epoch, 0 if args.eval_only else args.epochs):
             cur_epoch = epoch
+            if args.augment:
+                # fresh geometry every epoch -> level masks can't be reused
+                sharded = build_groups(rng)
             for i, (sp, sm, sf, sl) in enumerate(sharded):
                 batch = (
                     jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf),
                     jnp.asarray(sl),
                 )
-                if i in mask_cache:
+                if i in mask_cache and not args.augment:
                     params, opt_state, loss, acc, ovf, _ = step_reuse(
                         params, opt_state, *batch, *mask_cache[i]
                     )
@@ -351,7 +368,8 @@ def train_spatial(args) -> dict:
                     params, opt_state, loss, acc, ovf, lms = step_build(
                         params, opt_state, *batch
                     )
-                    mask_cache[i] = lms
+                    if not args.augment:
+                        mask_cache[i] = lms
                 it += 1
                 if int(ovf):
                     raise RuntimeError(
@@ -374,6 +392,9 @@ def train_spatial(args) -> dict:
         # path trains whole scenes with no block resampling, so this is an
         # eval over the training scenes unless --data points elsewhere.
         from ..parallel.dp_spatial import make_dp_spatial_eval
+
+        if args.augment:  # evaluate the canonical (unaugmented) geometry
+            sharded = build_groups()
 
         eval_fn = make_dp_spatial_eval(
             mesh, radii=radii, halo_cap=halo_cap, neighbor_k=16,
@@ -419,6 +440,13 @@ def main(argv=None):
         "exchange over ICI) instead of training independent blocks",
     )
     p.add_argument("--halo-cap", type=int, default=1024)
+    p.add_argument(
+        "--augment",
+        action="store_true",
+        help="with --spatial-shards: per-epoch rotation+jitter augmentation "
+        "(reference DataSet parity); scenes are re-slabbed on the host each "
+        "epoch, so the hierarchy-mask cache is bypassed",
+    )
     p.add_argument(
         "--data-shards",
         type=int,

@@ -198,12 +198,13 @@ def test_scannet_dp_spatial_composed_cli(tmp_path):
         [
             "--synthetic", "--spatial-shards", "4", "--data-shards", "2",
             "--points", "2048", "--epochs", "2", "--steps-per-epoch", "2",
-            "--grow", "8", "--log-dir", str(tmp_path / "lg"),
+            "--grow", "8", "--log-dir", str(tmp_path / "lg"), "--augment",
         ]
     )
     assert np.isfinite(res["loss"])
     assert 0.0 <= res["point_accuracy"] <= 1.0
     assert res["shards"] == 4 and res["data_shards"] == 2
+    assert 0.0 <= res["mIoU"] <= 1.0  # eval on canonical geometry
 
 
 def test_scannet_spatial_checkpoint_resume(tmp_path):
