@@ -59,6 +59,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--eval-only", action="store_true")
     p.add_argument(
+        "--remat",
+        action="store_true",
+        help="rematerialize activations in the backward (jax.checkpoint "
+        "around the forward): ~1 extra forward of compute for a large peak-"
+        "HBM cut — lets whole-scene configs fit bigger N on one chip",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -98,7 +105,9 @@ class Runner:
         )
         self.state = replicate(state, self.mesh)
         repl = NamedSharding(self.mesh, P())
-        step = make_train_step(model, self.tx, loss_fn)
+        step = make_train_step(
+            model, self.tx, loss_fn, remat=getattr(args, "remat", False)
+        )
         self._train_step = jax.jit(step, out_shardings=(repl, repl))
 
         from ..train.state import _model_args

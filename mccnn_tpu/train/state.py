@@ -77,25 +77,38 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_fn: Callable[..., tuple[Array, dict]],
+    remat: bool = False,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Build a pure train step.
 
     ``loss_fn(apply_out, batch) -> (loss, metrics)`` where ``apply_out`` is the
     model output. The step handles BN mutation, dropout rngs, grads, and the
     optimizer update. jit/shard it at the call site (see parallel/dp.py and
-    __graft_entry__.py)."""
+    __graft_entry__.py).
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint``: the backward
+    stores only the batch and parameters and recomputes activations, trading
+    ~1 extra forward for peak-HBM ~ O(largest single op) instead of the sum
+    over layers — the whole-scene single-chip path's memory unlock
+    (SURVEY §7 'HBM bandwidth/rematerialisation')."""
 
     def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         rng, drop_rng = jax.random.split(state.rng)
 
-        def compute_loss(params):
-            out, updates = model.apply(
+        def apply_fn(params, batch, drop_rng):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 *_model_args(batch),
                 train=True,
                 mutable=["batch_stats", "diagnostics"],
                 rngs={"dropout": drop_rng},
             )
+
+        if remat:
+            apply_fn = jax.checkpoint(apply_fn)
+
+        def compute_loss(params):
+            out, updates = apply_fn(params, batch, drop_rng)
             loss, metrics = loss_fn(out, batch)
             # Kernel-side health counters (e.g. tile-pair capacity overflow,
             # models/layers.py) ride the metrics so the epoch loop can

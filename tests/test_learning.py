@@ -138,6 +138,45 @@ def test_mcnorm_learns_plane_normals():
     ]
 
 
+def test_remat_train_step_matches_plain():
+    """remat=True (jax.checkpoint around the forward) must change memory, not
+    math: one step from identical state/batch produces the same loss and the
+    same updated parameters as the plain step."""
+    from mccnn_tpu.models import MCSeg
+
+    rng = np.random.default_rng(4)
+    B, N = 2, 128
+    batch = {
+        "points": jnp.asarray(rng.uniform(0, 1, (B, N, 3)).astype(np.float32)),
+        "mask": jnp.ones((B, N), bool),
+        "labels": jnp.asarray((rng.uniform(size=(B, N)) > 0.5).astype(np.int32)),
+    }
+
+    def loss_fn(logits, batch):
+        return (
+            segmentation_loss(logits, batch["labels"], batch["mask"]),
+            {"acc": masked_accuracy(logits, batch["labels"], batch["mask"])},
+        )
+
+    model = MCSeg(n_classes=2, grow=8, neighbor_k=8, radii=(0.1, 0.3))
+    tx = optax.adam(1e-3)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    plain = jax.jit(make_train_step(model, tx, loss_fn))
+    remat = jax.jit(make_train_step(model, tx, loss_fn, remat=True))
+    s_plain, m_plain = plain(state, batch)
+    s_remat, m_remat = remat(state, batch)
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        s_plain.params, s_remat.params,
+    )
+
+
 def test_mcclass_h_learns_separable_classes():
     """MCClassH (two-path hierarchical classifier) on the same separable
     2-class task: the joint loss must fall and joint accuracy must rise."""
