@@ -5,6 +5,7 @@ runs a full MCSeg train step (hierarchy + tile convs + tile pdf + grads) on
 the WHOLE scene at once — no sliding blocks, no spatial sharding.
 
 Usage: python tools/exp_whole_scene.py [n_points] [tile_pairs_override]
+       [--batch=B] [--breakdown] [--remat]
 """
 import sys
 import time
@@ -68,7 +69,10 @@ def main():
     t0 = time.perf_counter()
     state = init_state(model, tx, jax.random.PRNGKey(0), batch)
     print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
-    step = jax.jit(make_train_step(model, tx, loss_fn), donate_argnums=0)
+    step = jax.jit(
+        make_train_step(model, tx, loss_fn, remat="--remat" in sys.argv),
+        donate_argnums=0,
+    )
 
     t0 = time.perf_counter()
     state, m = step(state, batch)

@@ -44,7 +44,7 @@ run exp_whole_scene_32k 1800 python tools/exp_whole_scene.py 32768 --breakdown
 
 # 4. Whole-scene scaling: 65k, then 131k (with remat the memory story).
 run exp_whole_scene_65k 2400 python tools/exp_whole_scene.py 65536
-run exp_whole_scene_131k 3000 python tools/exp_whole_scene.py 131072
+run exp_whole_scene_131k 3000 python tools/exp_whole_scene.py 131072 --remat
 
 # 5. Entry-point compile check on the real chip.
 run graft_entry 1800 python __graft_entry__.py
