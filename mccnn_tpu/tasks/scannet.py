@@ -320,8 +320,8 @@ def train_spatial(args) -> dict:
     # per-shard compute on the fused dense Pallas kernel where available
     backend = "dense" if jax.default_backend() == "tpu" else "jnp"
     # masks passed to step_reuse are the cached per-shard level-mask tuples
-    # from a previous step on the SAME scene group (points are static across
-    # epochs — no augmentation here)
+    # from a previous step on the SAME scene group; valid only while the
+    # geometry is static, so --augment bypasses the cache entirely
     step_build, step_reuse = make_dp_spatial_step(
         mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16,
         backend=backend,
