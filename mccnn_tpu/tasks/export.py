@@ -41,6 +41,12 @@ def build_model(args):
         kw["n_classes"] = args.n_classes
     if args.grow:
         kw["grow"] = args.grow
+    if args.radii:
+        kw["radii"] = tuple(float(r) for r in args.radii.split(","))
+    if args.model == "MCSeg" and args.tile_pairs:
+        # whole-scene bundle: route big-N conv/pdf through the z-order tile
+        # kernels so one exported program serves an entire scene in one pass
+        kw["tile_pairs"] = args.tile_pairs
     return cls(**kw)
 
 
@@ -79,6 +85,20 @@ def main(argv=None):
         "program",
     )
     p.add_argument("--points", type=int, default=1024)
+    p.add_argument(
+        "--radii",
+        type=str,
+        default=None,
+        help="comma list overriding the model's hierarchy radii "
+        "(e.g. '0.05,0.15,0.4')",
+    )
+    p.add_argument(
+        "--tile-pairs",
+        type=int,
+        default=None,
+        help="MCSeg only: static z-order tile-pair capacity — export a "
+        "whole-scene bundle (one pass per scene, no sliding blocks)",
+    )
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--out", type=str, required=True)
     p.add_argument(
@@ -136,6 +156,8 @@ def main(argv=None):
                     "grow",
                     "batch",
                     "points",
+                    "radii",
+                    "tile_pairs",
                 )
             },
         },

@@ -249,3 +249,36 @@ def test_export_cli_roundtrip(tmp_path):
     info = serve.bundle_info(out)
     assert info["model"] == "MCClassS" and info["trained"] is False
     assert serve.load_bundle(out).batch_size == 2
+
+
+def test_export_cli_whole_scene_tile_bundle(tmp_path):
+    """--tile-pairs exports a whole-scene MCSeg bundle: the z-order tile
+    sampler/KDE are baked into one serving program (one pass per scene, no
+    sliding blocks) and the manifest records the capacity."""
+    import numpy as np
+
+    from mccnn_tpu.tasks.export import main
+
+    out = str(tmp_path / "scene.mcb")
+    rc = main(
+        [
+            "--model", "MCSeg", "--n-classes", "5", "--grow", "8",
+            "--batch", "1", "--points", "512", "--radii", "0.1,0.3",
+            "--tile-pairs", "4096", "--out", out, "--check",
+        ]
+    )
+    assert rc == 0
+    info = serve.bundle_info(out)
+    assert info["model"] == "MCSeg"
+    assert info["flags"]["tile_pairs"] == 4096
+    assert info["flags"]["radii"] == "0.1,0.3"
+
+    bundle = serve.load_bundle(out)
+    rng = np.random.default_rng(0)
+    batch = {
+        "points": rng.uniform(0, 1, (1, 512, 3)).astype(np.float32),
+        "mask": np.ones((1, 512), bool),
+    }
+    logits = np.asarray(bundle.predict(batch))
+    assert logits.shape == (1, 512, 5)
+    assert np.isfinite(logits).all()
