@@ -55,6 +55,7 @@ def make_dp_spatial_step(
     halo_cap: int,
     neighbor_k: int = 16,
     backend: str = "jnp",
+    remat: bool = False,
 ):
     """Jitted train steps over ``(D, S, cap, ...)`` scene groups.
 
@@ -93,8 +94,12 @@ def make_dp_spatial_step(
             check_vma=False,
         )(params, sp, sm, sf, *(masks or ()))
 
+    # remat: recompute the sharded forward in the backward instead of storing
+    # its activations (same trade as train/state.py make_train_step)
+    apply = jax.checkpoint(apply_sharded) if remat else apply_sharded
+
     def loss_fn(params, sp, sm, sf, sl, masks):
-        logits, ovf, lms = apply_sharded(params, sp, sm, sf, masks)
+        logits, ovf, lms = apply(params, sp, sm, sf, masks)
         logp = jax.nn.log_softmax(logits)
         ll = jnp.take_along_axis(logp, sl[..., None], axis=-1)[..., 0]
         m = sm.astype(jnp.float32)

@@ -324,7 +324,7 @@ def train_spatial(args) -> dict:
     # geometry is static, so --augment bypasses the cache entirely
     step_build, step_reuse = make_dp_spatial_step(
         mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16,
-        backend=backend,
+        backend=backend, remat=getattr(args, "remat", False),
     )
     mask_cache: dict[int, tuple] = {}
 

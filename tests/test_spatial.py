@@ -453,3 +453,18 @@ def test_dp_spatial_composed(rng):
     assert not g_pad[1][1].any()  # pad scene fully masked
     out_pad, _ = run(2, g_pad)
     np.testing.assert_allclose(float(out_pad[2]), float(la), rtol=1e-5)
+
+    # remat=True must change memory, not math: same loss + updated params
+    mesh = dp_spatial_mesh(2, 4)
+    step_rm, _ = make_dp_spatial_step(
+        mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16, remat=True
+    )
+    with mesh:
+        out_rm = step_rm(params, opt0, *tuple(jnp.asarray(x) for x in g2))
+    np.testing.assert_allclose(float(out_rm[2]), float(loss), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        new_params, out_rm[0],
+    )
