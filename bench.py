@@ -47,14 +47,14 @@ LAST_VERIFIED = {
     # Metric name carries the _stale suffix so no consumer can mistake the
     # fallback for a live measurement (ADVICE r1); bench also exits nonzero.
     "metric": "mcconv_depthwise_fwdbwd_throughput_stale",
-    "value": 14.5,
+    "value": 14.6,
     "unit": "Mpoints/s/chip",
-    "vs_baseline": 0.48,
+    "vs_baseline": 0.49,
     "stale": True,
     "note": "STALE: TPU unreachable at bench time; value from the last "
-    "successful on-chip run (2026-08-17, dense kernel v2 + dpre-fused "
-    "backward, 0.563 ms/layer full fwd+bwd, chain-difference timing; 32k "
-    "z-tile line that run: 3.24 Mpts/s, 10.1 ms/layer, Hilbert ordering)",
+    "successful on-chip run (2026-08-18, dense kernel v2 + dpre-fused "
+    "backward, 0.562 ms/layer full fwd+bwd, chain-difference timing; 32k "
+    "z-tile line that run: 3.25 Mpts/s, 10.1 ms/layer, Hilbert ordering)",
 }
 
 
