@@ -67,6 +67,42 @@ def default_level_caps(n_points: int, radii: Sequence[float]) -> list[int]:
     return caps
 
 
+def hierarchy_from_masks(
+    points: Array,
+    level_masks: Sequence[Array],
+    radii: Sequence[float],
+) -> PointHierarchy:
+    """Nested-mask view of a hierarchy: every level keeps the FULL point array
+    with its own validity mask (no compaction).
+
+    All ops are mask-aware, so this is computationally equivalent to the
+    compacted representation ``build_hierarchy`` produces. It exists for
+    interop with the spatially-sharded trainer (parallel/sharded_mcseg.py),
+    whose levels are nested masks over the shard's slots: gathering its masks
+    to global order and wrapping them here lets the flax ``MCSeg`` run on the
+    exact same hierarchy (the block/spatial parity tests do this).
+
+    ``level_masks[0]`` is the input validity mask; ``level_masks[l]`` for
+    ``l >= 1`` selects the level-l subset (must be nested; ``radii[l-1]`` is
+    its Poisson radius).
+    """
+    assert len(level_masks) == len(radii) + 1
+    levels = [
+        HierarchyLevel(
+            points=points, mask=level_masks[0], radius=0.0, sample=None,
+            self_nbh=None,
+        )
+    ]
+    for r, m in zip(radii, level_masks[1:]):
+        levels.append(
+            HierarchyLevel(
+                points=points, mask=m, radius=float(r), sample=None,
+                self_nbh=None,
+            )
+        )
+    return PointHierarchy(levels=tuple(levels))
+
+
 def build_hierarchy(
     points: Array,
     mask: Array,

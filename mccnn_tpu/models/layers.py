@@ -192,6 +192,16 @@ class MaskedBatchNorm(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        # Created eagerly (not just under ``train``) so the batch_stats pytree
+        # structure is identical between init and the first train step —
+        # checkpoint templates and shard_map out_specs rely on that.
+        cnt = (
+            self.variable(
+                "batch_stats", "count", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.schedule_steps
+            else None
+        )
 
         if train:
             m = mask.reshape(-1)[:, None].astype(x.dtype)
@@ -200,9 +210,6 @@ class MaskedBatchNorm(nn.Module):
             mean = (xf * m).sum(0) / n
             var = ((xf - mean) ** 2 * m).sum(0) / n
             if self.schedule_steps:
-                cnt = self.variable(
-                    "batch_stats", "count", lambda: jnp.zeros((), jnp.float32)
-                )
                 mom = jnp.minimum(
                     1.0 - 0.5 * 0.5 ** (cnt.value / self.schedule_steps), 0.99
                 )

@@ -5,7 +5,12 @@ Reference parity (viscom-ulm/MCCNN): ``models/MCSeg.py`` (SURVEY §2.2/§3.4):
 down-sampling convs with growing features, decoder of up-sampling convs
 (coarse→fine, the same op with levels reversed) + skip concatenation + 1x1
 mixing, ending in per-point logits. Optional per-cloud category one-hot
-(ShapeNet) is broadcast and concatenated to the input features."""
+(ShapeNet) is broadcast and concatenated to the input features.
+
+Every submodule carries an explicit name so the parameter tree is a stable
+contract: the spatially-sharded trainer (parallel/sharded_mcseg.py) runs this
+exact network as a pure function over the SAME flax variables, making block
+and spatial checkpoints interchangeable."""
 
 from __future__ import annotations
 
@@ -14,7 +19,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..api.builder import SpatialCache
-from ..api.hierarchy import build_hierarchy
+from ..api.hierarchy import PointHierarchy, build_hierarchy
 from .layers import BatchNormReluDropout, Conv1x1, MCConv
 
 
@@ -32,6 +37,14 @@ class MCSeg(nn.Module):
     # tile kernels (whole-scene single-chip path; see ops/pallas/tile_conv.py)
     tile_pairs: int | None = None
 
+    def _bn(self, name: str, drop_rate: float = 0.0) -> BatchNormReluDropout:
+        return BatchNormReluDropout(
+            momentum=self.bn_momentum,
+            schedule_steps=self.bn_schedule_steps,
+            drop_rate=drop_rate,
+            name=name,
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -41,6 +54,7 @@ class MCSeg(nn.Module):
         category_onehot: Array | None = None,  # (B, n_categories) for ShapeNet
         *,
         train: bool = False,
+        hierarchy: PointHierarchy | None = None,
     ) -> Array:
         B, N, _ = points.shape
         if features is None:
@@ -51,10 +65,16 @@ class MCSeg(nn.Module):
             ).astype(features.dtype)
             features = jnp.concatenate([features, cat], axis=-1)
 
-        hier = build_hierarchy(
-            points, mask, self.radii, neighbor_k=self.neighbor_k,
-            global_level=False, tile_pairs=self.tile_pairs,
-        )
+        # ``hierarchy`` lets callers inject precomputed levels (e.g. the
+        # nested-mask view from the spatially-sharded trainer, via
+        # api.hierarchy.hierarchy_from_masks) — the network itself is then a
+        # pure function of (params, levels, features).
+        hier = hierarchy
+        if hier is None:
+            hier = build_hierarchy(
+                points, mask, self.radii, neighbor_k=self.neighbor_k,
+                global_level=False, tile_pairs=self.tile_pairs,
+            )
         for lvl in hier.levels:
             if lvl.sample is not None and lvl.sample.overflow is not None:
                 # tile-sampler pair-capacity overflow (see SampleSet.overflow)
@@ -72,7 +92,7 @@ class MCSeg(nn.Module):
         x = MCConv(
             c_in=features.shape[-1], c_out=g, use_pdf=self.use_pdf, name="stem"
         )(cache, 0, 0, self.radii[0], features)
-        x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, mask, train)
+        x = self._bn("stem_bn")(x, mask, train)
 
         skips = [x]
         for lvl in range(n_levels - 1):
@@ -82,9 +102,9 @@ class MCSeg(nn.Module):
                 c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
                 name=f"enc_{lvl}_{lvl + 1}",
             )(cache, lvl, lvl + 1, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
+            x = self._bn(f"enc_bn_{lvl + 1}")(x, out_mask, train)
             x = Conv1x1(widths[lvl] * 2, name=f"enc_mix_{lvl + 1}")(x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
+            x = self._bn(f"enc_mix_bn_{lvl + 1}")(x, out_mask, train)
             if lvl + 1 < n_levels - 1:
                 skips.append(x)
 
@@ -95,11 +115,11 @@ class MCSeg(nn.Module):
                 c_in=x.shape[-1], c_out=None, use_pdf=self.use_pdf,
                 name=f"dec_{lvl + 1}_{lvl}",
             )(cache, lvl + 1, lvl, radius, x)
-            x = BatchNormReluDropout(momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps)(x, out_mask, train)
+            x = self._bn(f"dec_bn_{lvl}")(x, out_mask, train)
             x = jnp.concatenate([x, skips[lvl]], axis=-1)
             x = Conv1x1(max(x.shape[-1] // 2, g), name=f"dec_mix_{lvl}")(x)
-            x = BatchNormReluDropout(
-                momentum=self.bn_momentum, schedule_steps=self.bn_schedule_steps,
+            x = self._bn(
+                f"dec_mix_bn_{lvl}",
                 drop_rate=self.drop_rate if lvl == 0 else 0.0,
             )(x, out_mask, train)
 

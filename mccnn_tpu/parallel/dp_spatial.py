@@ -1,12 +1,14 @@
 """Composed data x spatial parallelism on a 2-D ``('data', 'spatial')`` mesh.
 
-The 1-D spatial path (parallel/sharded_hierarchy.py) trains ONE huge scene at
-a time, its points slabbed over a mesh axis with halo exchange over ICI. This
-module composes that with data parallelism (SURVEY §2.3 / §5.7-5.8): several
-independent scenes ride the 'data' axis concurrently, each still spatially
-sharded over the 'spatial' axis. Parameters enter ``shard_map`` replicated
-(spec ``P()``), so the transpose rule all-reduces their gradients over BOTH
-mesh axes — no hand-written collectives. The 1-D path is the
+The spatial path trains whole scenes with their points slabbed over a mesh
+axis and halo exchange over ICI (parallel/sharded_mcseg.py — the real flax
+``MCSeg``, since round 4). This module composes that with data parallelism
+(SURVEY §2.3 / §5.7-5.8): several independent scenes ride the 'data' axis
+concurrently, each still spatially sharded over the 'spatial' axis.
+Parameters enter ``shard_map`` replicated (spec ``P()``), so the transpose
+rule all-reduces their gradients over BOTH mesh axes, and BN moments are
+``psum``'d over both axes inside the forward — the same statistics the
+block path computes over a whole batch. The 1-D path is the
 ``data_shards=1`` special case; ``tasks/scannet.py --spatial-shards S
 --data-shards D`` wires this into training and ``__graft_entry__.
 dryrun_multichip`` dry-runs the composed step on the virtual CPU mesh.
@@ -17,15 +19,14 @@ sharded ``P('data', 'spatial')``, exactly one (scene, slab) block per device.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .sharded_hierarchy import sharded_mcseg_apply
+from ..train.state import TrainState
+from .sharded_mcseg import SpatialMCSegConfig, sharded_mcseg_apply_flax
 
 AXIS_DATA, AXIS_SPATIAL = "data", "spatial"
 
@@ -47,76 +48,110 @@ def dp_spatial_mesh(data_shards: int, spatial_shards: int) -> Mesh:
     )
 
 
-def make_dp_spatial_step(
-    mesh: Mesh,
-    tx: optax.GradientTransformation,
-    *,
-    radii: Sequence[float],
-    halo_cap: int,
-    neighbor_k: int = 16,
-    backend: str = "jnp",
-    remat: bool = False,
-):
-    """Jitted train steps over ``(D, S, cap, ...)`` scene groups.
-
-    Returns ``(step_build, step_reuse)``:
-    ``step_build(params, opt, sp, sm, sf, sl)`` builds the sharded hierarchy
-    this step and returns its level masks (cache them per scene group);
-    ``step_reuse(params, opt, sp, sm, sf, sl, *masks)`` consumes cached masks.
-    Both return ``(params, opt, loss, acc, halo_overflow, level_masks)``.
-    Fully-masked padding scenes (``sm`` all False) are legal: they select
-    nothing, contribute nothing to the loss, and leave gradients untouched.
-    """
+def _make_apply(mesh: Mesh, cfg: SpatialMCSegConfig, halo_cap, backend, train):
+    """shard_map'd forward over a (D, S, cap, ...) scene group."""
     n_sh = mesh.shape[AXIS_SPATIAL]
     sh = P(AXIS_DATA, AXIS_SPATIAL)
+    L = len(cfg.radii)
 
-    def apply_sharded(params, sp, sm, sf, masks):
+    def apply(params, batch_stats, drop_rng, sp, sm, sf, masks):
         p_spec = jax.tree.map(lambda _: P(), params)
+        s_spec = jax.tree.map(lambda _: P(), batch_stats)
 
-        def fn(params, p_, m_, f_, *mk_):
+        def fn(params, stats, rng, p_, m_, f_, *mk_):
             lm = [m[0, 0] for m in mk_] if mk_ else None
-            logits, lms, ovf = sharded_mcseg_apply(
-                params, p_[0, 0], m_[0, 0], f_[0, 0], radii=radii,
+            # distinct dropout stream per (scene, slab) block
+            rng = jax.random.fold_in(
+                rng,
+                jax.lax.axis_index(AXIS_DATA) * n_sh
+                + jax.lax.axis_index(AXIS_SPATIAL),
+            )
+            logits, lms, ovf, new_stats = sharded_mcseg_apply_flax(
+                {"params": params, "batch_stats": stats}, cfg,
+                p_[0, 0], m_[0, 0], f_[0, 0],
                 halo_cap=halo_cap, axis_name=AXIS_SPATIAL, n_shards=n_sh,
-                neighbor_k=neighbor_k, level_masks=lm, backend=backend,
+                stat_axes=(AXIS_DATA, AXIS_SPATIAL), train=train,
+                dropout_rng=rng, level_masks=lm, backend=backend,
             )
             return (
                 logits[None, None],
                 ovf[None, None],
                 tuple(m[None, None] for m in lms),
+                new_stats,  # psum'd over both axes -> identical on every shard
             )
 
         n_masks = 0 if masks is None else len(masks)
         return shard_map(
             fn, mesh=mesh,
-            in_specs=(p_spec, sh, sh, sh) + (sh,) * n_masks,
-            out_specs=(sh, sh, (sh,) * (len(radii) + 1)),
+            in_specs=(p_spec, s_spec, P(), sh, sh, sh) + (sh,) * n_masks,
+            out_specs=(sh, sh, (sh,) * (L + 1), s_spec),
             check_vma=False,
-        )(params, sp, sm, sf, *(masks or ()))
+        )(params, batch_stats, drop_rng, sp, sm, sf, *(masks or ()))
 
+    return apply
+
+
+def make_dp_spatial_step(
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    cfg: SpatialMCSegConfig,
+    *,
+    halo_cap: int,
+    backend: str = "jnp",
+    remat: bool = False,
+):
+    """Jitted train steps over ``(D, S, cap, ...)`` scene groups, training the
+    flax ``MCSeg`` variables (``TrainState`` — same pytree the block-path
+    Runner checkpoints).
+
+    Returns ``(step_build, step_reuse)``:
+    ``step_build(state, sp, sm, sf, sl)`` builds the sharded hierarchy this
+    step and returns its level masks (cache them per scene group);
+    ``step_reuse(state, sp, sm, sf, sl, *masks)`` consumes cached masks.
+    Both return ``(state, loss, acc, halo_overflow, level_masks)``.
+    Fully-masked padding scenes (``sm`` all False) are legal: they select
+    nothing, contribute nothing to the loss, and leave gradients untouched.
+    """
+    apply_train = _make_apply(mesh, cfg, halo_cap, backend, train=True)
     # remat: recompute the sharded forward in the backward instead of storing
     # its activations (same trade as train/state.py make_train_step)
-    apply = jax.checkpoint(apply_sharded) if remat else apply_sharded
+    apply = jax.checkpoint(apply_train) if remat else apply_train
 
-    def loss_fn(params, sp, sm, sf, sl, masks):
-        logits, ovf, lms = apply(params, sp, sm, sf, masks)
+    def loss_fn(params, batch_stats, drop_rng, sp, sm, sf, sl, masks):
+        logits, ovf, lms, new_stats = apply(
+            params, batch_stats, drop_rng, sp, sm, sf, masks
+        )
         logp = jax.nn.log_softmax(logits)
         ll = jnp.take_along_axis(logp, sl[..., None], axis=-1)[..., 0]
         m = sm.astype(jnp.float32)
         loss = -(ll * m).sum() / jnp.maximum(m.sum(), 1.0)
         acc = ((logits.argmax(-1) == sl) & sm).sum() / jnp.maximum(m.sum(), 1.0)
-        return loss, (acc, ovf.sum(), jax.tree.map(jax.lax.stop_gradient, lms))
+        aux = (
+            acc,
+            ovf.sum(),
+            jax.tree.map(jax.lax.stop_gradient, lms),
+            jax.tree.map(jax.lax.stop_gradient, new_stats),
+        )
+        return loss, aux
 
     def make(with_masks):
-        def step(params, opt_state, sp, sm, sf, sl, *masks):
-            (loss, (acc, ovf, lms)), grads = jax.value_and_grad(
+        def step(state: TrainState, sp, sm, sf, sl, *masks):
+            rng, drop_rng = jax.random.split(state.rng)
+            (loss, (acc, ovf, lms, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, sp, sm, sf, sl, masks if with_masks else None)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (
-                optax.apply_updates(params, updates), opt_state, loss, acc,
-                ovf, lms,
+            )(
+                state.params, state.batch_stats, drop_rng, sp, sm, sf, sl,
+                masks if with_masks else None,
             )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                rng=rng,
+            )
+            return new_state, loss, acc, ovf, lms
 
         return jax.jit(step)
 
@@ -125,36 +160,24 @@ def make_dp_spatial_step(
 
 def make_dp_spatial_eval(
     mesh: Mesh,
+    cfg: SpatialMCSegConfig,
     *,
-    radii: Sequence[float],
     halo_cap: int,
-    neighbor_k: int = 16,
     backend: str = "jnp",
 ):
-    """Jitted forward over a ``(D, S, cap, ...)`` scene group: returns
-    ``(logits, halo_overflow)`` for metric computation (no grads, hierarchy
-    built in-call). Same layout contract as ``make_dp_spatial_step``."""
-    n_sh = mesh.shape[AXIS_SPATIAL]
-    sh = P(AXIS_DATA, AXIS_SPATIAL)
+    """Jitted eval forward over a ``(D, S, cap, ...)`` scene group: returns
+    ``(logits, halo_overflow)``. BN uses the running stats (train=False) —
+    the same eval semantics as the block path."""
+    apply_eval = _make_apply(mesh, cfg, halo_cap, backend, train=False)
 
-    def apply_fn(params, sp, sm, sf):
-        p_spec = jax.tree.map(lambda _: P(), params)
-
-        def fn(params, p_, m_, f_):
-            logits, _, ovf = sharded_mcseg_apply(
-                params, p_[0, 0], m_[0, 0], f_[0, 0], radii=radii,
-                halo_cap=halo_cap, axis_name=AXIS_SPATIAL, n_shards=n_sh,
-                neighbor_k=neighbor_k, backend=backend,
-            )
-            return logits[None, None], ovf[None, None]
-
-        logits, ovf = shard_map(
-            fn, mesh=mesh, in_specs=(p_spec, sh, sh, sh),
-            out_specs=(sh, sh), check_vma=False,
-        )(params, sp, sm, sf)
+    def fwd(state: TrainState, sp, sm, sf):
+        logits, ovf, _, _ = apply_eval(
+            state.params, state.batch_stats, jax.random.PRNGKey(0),
+            sp, sm, sf, None,
+        )
         return logits, ovf.sum()
 
-    return jax.jit(apply_fn)
+    return jax.jit(fwd)
 
 
 def group_scenes(sharded: list, data_shards: int):

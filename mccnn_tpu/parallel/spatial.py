@@ -138,6 +138,55 @@ def exchange_halos(
     )
 
 
+def gather_level(
+    points: Array,
+    mask: Array,
+    values: dict,
+    cap: int,
+    axis_name: str,
+) -> HaloAugmented:
+    """All-gather a (sparse) level over the mesh axis — the exact source set
+    for ops whose radius exceeds one slab width, where a single halo exchange
+    would miss sources two or more shards away (round-4 finding; see
+    parallel/sharded_mcseg.py).
+
+    Each shard compacts its masked rows to a static ``cap`` (overflow counted,
+    not silent), all-gathers the compacted buffers, and masks out its OWN
+    slice so the result can be concatenated after the local rows without
+    double counting:
+
+      points: ``(N + n_shards*cap, 3)`` = [local rows in slot order | gathered]
+      mask:   local ``mask`` followed by the gathered validity (own slice off)
+
+    Same contract as ``exchange_halos`` — rows ``[0:N]`` are the local points
+    in their original slot order, so per-row results (KDE of local points,
+    conv outputs at local queries) index the same way on either path.
+    """
+    pts_c, keep, vals_c = _compress(points, mask, values, cap)
+    overflow = jnp.maximum(mask.sum() - cap, 0).astype(jnp.int32)
+
+    g_pts, g_keep, g_vals = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, axis_name),
+        (pts_c, keep, vals_c),
+    )
+    n_shards = g_pts.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    not_mine = jnp.arange(n_shards, dtype=jnp.int32) != me
+    g_keep = g_keep & not_mine[:, None]
+
+    points_aug = jnp.concatenate([points, g_pts.reshape(-1, 3)])
+    mask_aug = jnp.concatenate([mask, g_keep.reshape(-1)])
+    values_aug = {
+        k: jnp.concatenate(
+            [values[k], g_vals[k].reshape((-1,) + g_vals[k].shape[2:])]
+        )
+        for k in values
+    }
+    return HaloAugmented(
+        points=points_aug, mask=mask_aug, values=values_aug, overflow=overflow
+    )
+
+
 def slab_bounds(
     n_shards: int, axis_name: str, lo: float = 0.0, hi: float = 1.0
 ):

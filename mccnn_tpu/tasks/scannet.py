@@ -200,7 +200,12 @@ def train_spatial(args) -> dict:
     Unlike the block path (reference parity), cross-block context flows
     through the halos — one scene = one global training example.
     ``--data-shards D`` composes data parallelism on top: D scenes per step
-    on a 2-D ('data', 'spatial') mesh (parallel/dp_spatial.py)."""
+    on a 2-D ('data', 'spatial') mesh (parallel/dp_spatial.py).
+
+    Since round 4 this trains the REAL flax ``MCSeg`` (masked BN with
+    mesh-wide moments, dropout, configurable ``--radii``/``--neighbor-k``/
+    ``--grow``) via parallel/sharded_mcseg.py, and its checkpoints are the
+    standard TrainState pytree — interchangeable with the block path."""
     import signal
 
     import jax
@@ -210,9 +215,10 @@ def train_spatial(args) -> dict:
     from ..parallel.dp_spatial import (
         dp_spatial_mesh,
         group_scenes,
+        make_dp_spatial_eval,
         make_dp_spatial_step,
     )
-    from ..parallel.sharded_hierarchy import init_sharded_mcseg
+    from ..parallel.sharded_mcseg import SpatialMCSegConfig
     from ..parallel.spatial import shard_points_by_slab
     from ..train.checkpoint import Checkpointer
     from ..train.metrics import MetricsLogger
@@ -224,7 +230,9 @@ def train_spatial(args) -> dict:
         mesh = dp_spatial_mesh(d_sh, n_sh)
     except ValueError as e:
         raise SystemExit(str(e))
-    radii = (0.02, 0.04)  # unit-cube scenes; conv radius 2x stays < slab/2
+    # unit-cube scenes; sites with conv radius > 1/n_sh auto-route to the
+    # all-gather source path (parallel/sharded_mcseg.py), so any radii work
+    radii = _parse_radii(args.radii) or (0.02, 0.04)
 
     rng = np.random.default_rng(args.seed)
     # Same data pipeline as the unsharded path (VERDICT r2 #5): whole scenes
@@ -233,20 +241,35 @@ def train_spatial(args) -> dict:
     if args.synthetic or not args.data:
         n_classes = args.n_classes or 8
         source = SyntheticSceneSource(6, n_classes, args.seed)
+        # held-out scenes for the final eval (VERDICT r3 #6: the spatial
+        # path must not report train-set eval as its quality number)
+        eval_source = SyntheticSceneSource(3, n_classes, args.seed + 1)
     else:
         source = datasets.load_scannet(args.data, "train")
         n_classes = source.n_classes
-    src = getattr(source, "_src", source)
+        try:
+            eval_source = datasets.load_scannet(args.data, "test")
+        except FileNotFoundError:
+            eval_source = None
     from ..data.datasets import _normalize_np
 
     n_pts = args.points
-    scenes, labels = [], []
-    for pts, lab in zip(src.scenes, src.labels):
-        if len(pts) > n_pts:
-            keep = rng.choice(len(pts), n_pts, replace=False)
-            pts, lab = pts[keep], lab[keep]
-        scenes.append(_normalize_np(np.asarray(pts, np.float32)))
-        labels.append(np.asarray(lab, np.int32))
+
+    def prep_scenes(src_like):
+        src = getattr(src_like, "_src", src_like)
+        out_s, out_l = [], []
+        for pts, lab in zip(src.scenes, src.labels):
+            if len(pts) > n_pts:
+                keep = rng.choice(len(pts), n_pts, replace=False)
+                pts, lab = pts[keep], lab[keep]
+            out_s.append(_normalize_np(np.asarray(pts, np.float32)))
+            out_l.append(np.asarray(lab, np.int32))
+        return out_s, out_l
+
+    scenes, labels = prep_scenes(source)
+    eval_scenes, eval_labels = (
+        prep_scenes(eval_source) if eval_source is not None else (scenes, labels)
+    )
 
     cap = int(-(-max(len(s) for s in scenes) * 2 // n_sh // 8) * 8)
     # the halo buffer packs from a shard's cap slots, so halo_cap <= cap
@@ -269,53 +292,62 @@ def train_spatial(args) -> dict:
             sl[s, v] = lab[sidx[s][v]]
         return sp, sm, sf, sl
 
-    def build_groups(aug_rng=None):
-        """Shard the scene set into (D, S, cap, ...) groups; with an rng,
+    def build_groups(scene_list, label_list, aug_rng=None):
+        """Shard a scene set into (D, S, cap, ...) groups; with an rng,
         apply the reference's per-epoch augmentation (rotation about up +
         jitter, re-normalized) before re-slabbing on the host."""
-        cur = scenes
+        cur = scene_list
         if aug_rng is not None:
             from ..data.augment import jitter, rotate_z
 
             cur = [
                 _normalize_np(jitter(rotate_z(s, aug_rng), aug_rng))
-                for s in scenes
+                for s in scene_list
             ]
         return group_scenes(
-            [shard_scene(p, l) for p, l in zip(cur, labels)], d_sh
+            [shard_scene(p, l) for p, l in zip(cur, label_list)], d_sh
         )
 
-    sharded = build_groups()
+    sharded = build_groups(scenes, labels)
 
-    params = init_sharded_mcseg(
-        jax.random.PRNGKey(args.seed), 1, (args.grow or 16, 2 * (args.grow or 16)),
-        n_classes,
+    cfg = SpatialMCSegConfig(
+        n_classes=n_classes,
+        grow=args.grow or 16,
+        radii=tuple(radii),
+        neighbor_k=args.neighbor_k or 16,
+        bn_schedule_steps=args.bn_decay_steps,
+    )
+    # init the flax twin on a tiny cloud (param shapes depend only on widths)
+    model = cfg.model()
+    init_pts = jnp.asarray(scenes[0][:256][None])
+    init_n = init_pts.shape[1]
+    variables = model.init(
+        jax.random.PRNGKey(args.seed), init_pts,
+        jnp.ones((1, init_n), bool), jnp.ones((1, init_n, 1), jnp.float32),
+        train=False,
     )
     tx = optax.adam(args.lr)
-    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(args.seed),
+    )
 
-    # Checkpoint/resume + preemption safety — same contract as the Runner
-    # path (SURVEY §5.3/§5.4): full (params, opt_state, step) round-trips
-    # through orbax, SIGTERM/SIGINT snapshot before exit, --resume continues
-    # at the saved epoch. The Checkpointer's TrainState wrapper carries empty
-    # batch_stats (the sharded MCSeg has none) and a dummy rng.
+    # Checkpoint/resume + preemption safety — same contract AND the same
+    # TrainState pytree as the Runner path (SURVEY §5.3/§5.4), so block and
+    # spatial checkpoints are interchangeable given the same model config.
     run_name = args.run_name or "scannet_spatial"
     ckpt = Checkpointer(args.ckpt_dir or f"ckpts/{run_name}")
 
-    def wrap(step_i: int) -> TrainState:
-        return TrainState(
-            step=jnp.asarray(step_i, jnp.int32), params=params,
-            batch_stats={}, opt_state=opt_state, rng=jax.random.PRNGKey(0),
-        )
-
     start_epoch = 0
     if args.resume or args.eval_only:
-        restored, extra = ckpt.restore(jax.device_get(wrap(0)))
-        params, opt_state = restored.params, restored.opt_state
+        state, extra = ckpt.restore(jax.device_get(state))
         start_epoch = int(extra.get("epoch", 0))
 
     repl = NamedSharding(mesh, P())
-    params, opt_state = jax.device_put((params, opt_state), repl)
+    state = jax.device_put(state, repl)
 
     # per-shard compute on the fused dense Pallas kernel where available
     backend = "dense" if jax.default_backend() == "tpu" else "jnp"
@@ -323,8 +355,8 @@ def train_spatial(args) -> dict:
     # from a previous step on the SAME scene group; valid only while the
     # geometry is static, so --augment bypasses the cache entirely
     step_build, step_reuse = make_dp_spatial_step(
-        mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16,
-        backend=backend, remat=getattr(args, "remat", False),
+        mesh, tx, cfg, halo_cap=halo_cap, backend=backend,
+        remat=getattr(args, "remat", False),
     )
     mask_cache: dict[int, tuple] = {}
 
@@ -334,7 +366,7 @@ def train_spatial(args) -> dict:
     cur_epoch = start_epoch
 
     def snapshot(epoch_done: int) -> None:
-        ckpt.save(jax.device_get(wrap(it)), extra={"epoch": epoch_done})
+        ckpt.save(jax.device_get(state), extra={"epoch": epoch_done})
 
     def handler(signum, frame):
         try:
@@ -354,20 +386,18 @@ def train_spatial(args) -> dict:
             cur_epoch = epoch
             if args.augment:
                 # fresh geometry every epoch -> level masks can't be reused
-                sharded = build_groups(rng)
+                sharded = build_groups(scenes, labels, rng)
             for i, (sp, sm, sf, sl) in enumerate(sharded):
                 batch = (
                     jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf),
                     jnp.asarray(sl),
                 )
                 if i in mask_cache and not args.augment:
-                    params, opt_state, loss, acc, ovf, _ = step_reuse(
-                        params, opt_state, *batch, *mask_cache[i]
+                    state, loss, acc, ovf, _ = step_reuse(
+                        state, *batch, *mask_cache[i]
                     )
                 else:
-                    params, opt_state, loss, acc, ovf, lms = step_build(
-                        params, opt_state, *batch
-                    )
+                    state, loss, acc, ovf, lms = step_build(state, *batch)
                     if not args.augment:
                         mask_cache[i] = lms
                 it += 1
@@ -387,25 +417,21 @@ def train_spatial(args) -> dict:
             metrics.log(it, tag="train_spatial", epoch=epoch, **last)
             snapshot(epoch + 1)
 
-        # Final sharded-forward eval over the scene set (per-class IoU +
-        # point accuracy — the block path's metric contract). The spatial
-        # path trains whole scenes with no block resampling, so this is an
-        # eval over the training scenes unless --data points elsewhere.
-        from ..parallel.dp_spatial import make_dp_spatial_eval
-
-        if args.augment:  # evaluate the canonical (unaugmented) geometry
-            sharded = build_groups()
+        # Final sharded-forward eval (per-class IoU + point accuracy — the
+        # block path's metric contract) over the HELD-OUT scene set:
+        # load_scannet(root, "test") for real data, a disjoint synthetic
+        # set otherwise (train scenes only if no test split exists).
+        eval_groups = build_groups(eval_scenes, eval_labels)
 
         eval_fn = make_dp_spatial_eval(
-            mesh, radii=radii, halo_cap=halo_cap, neighbor_k=16,
-            backend=backend,
+            mesh, cfg, halo_cap=halo_cap, backend=backend
         )
         inter = np.zeros(n_classes, np.int64)
         union = np.zeros(n_classes, np.int64)
         correct = total = 0
-        for sp, sm, sf, sl in sharded:
+        for sp, sm, sf, sl in eval_groups:
             logits, _ = eval_fn(
-                params, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf)
+                state, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf)
             )
             pred = np.asarray(logits).argmax(-1)
             m = np.asarray(sm)
@@ -418,6 +444,7 @@ def train_spatial(args) -> dict:
         seen = union > 0
         last["mIoU"] = float((inter[seen] / np.maximum(union[seen], 1)).mean())
         last["eval_point_accuracy"] = correct / max(total, 1)
+        last["eval_split"] = "held-out" if eval_source is not None else "train"
         metrics.log(it, tag="eval", **{k: last[k] for k in
                                        ("mIoU", "eval_point_accuracy")})
     metrics.close()
@@ -425,6 +452,14 @@ def train_spatial(args) -> dict:
     last["start_epoch"] = start_epoch
     last["step"] = it
     return last
+
+
+def _parse_radii(spec) -> tuple[float, ...] | None:
+    if not spec:
+        return None
+    if isinstance(spec, (tuple, list)):
+        return tuple(float(r) for r in spec)
+    return tuple(float(r) for r in str(spec).split(","))
 
 
 def main(argv=None):
@@ -440,6 +475,21 @@ def main(argv=None):
         "exchange over ICI) instead of training independent blocks",
     )
     p.add_argument("--halo-cap", type=int, default=1024)
+    p.add_argument(
+        "--radii",
+        type=str,
+        default=None,
+        help="comma-separated Poisson radii per hierarchy level (unit-cube "
+        "coordinates). Defaults: 0.05,0.15,0.4 for the block path, "
+        "0.02,0.04 for --spatial-shards",
+    )
+    p.add_argument(
+        "--neighbor-k",
+        type=int,
+        default=None,
+        help="neighbor capacity of the K-bounded conv/pdf paths (default: "
+        "model default 32; 16 for --spatial-shards)",
+    )
     p.add_argument(
         "--augment",
         action="store_true",
@@ -492,9 +542,14 @@ def main(argv=None):
         datasets.class_weights_from(train_src.labels, n_classes)
     )
 
-    kw = {"n_classes": n_classes, "radii": (0.05, 0.15, 0.4)}
+    kw = {
+        "n_classes": n_classes,
+        "radii": _parse_radii(args.radii) or (0.05, 0.15, 0.4),
+    }
     if args.grow:
         kw["grow"] = args.grow
+    if args.neighbor_k:
+        kw["neighbor_k"] = args.neighbor_k
     if args.bn_decay_steps:
         kw["bn_schedule_steps"] = args.bn_decay_steps
     example = next(

@@ -36,8 +36,9 @@ def run_dp_spatial(role, nprocs):
         group_scenes,
         make_dp_spatial_step,
     )
-    from mccnn_tpu.parallel.sharded_hierarchy import init_sharded_mcseg
+    from mccnn_tpu.parallel.sharded_mcseg import SpatialMCSegConfig
     from mccnn_tpu.parallel.spatial import shard_points_by_slab
+    from mccnn_tpu.train.state import TrainState
 
     D, S, cap, n_cls = 2, 4, 384, 5
     rng = np.random.default_rng(3)  # identical scenes in every process
@@ -70,19 +71,39 @@ def run_dp_spatial(role, nprocs):
             )
 
     batch = tuple(glob(x) for x in group)
-    params = init_sharded_mcseg(jax.random.PRNGKey(1), 1, (8, 8), n_cls)
+    # the REAL flax MCSeg under composed dp x spatial sharding (round 4):
+    # the BN-moment psums over the 'data' axis cross the process boundary
+    cfg = SpatialMCSegConfig(
+        n_classes=n_cls, grow=8, radii=(0.06, 0.12), neighbor_k=8,
+        drop_rate=0.0,
+    )
+    model = cfg.model()
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        jnp.asarray(np.random.default_rng(9).uniform(0, 1, (1, 96, 3)),
+                    jnp.float32),
+        jnp.ones((1, 96), bool), jnp.ones((1, 96, 1), jnp.float32),
+        train=False,
+    )
     tx = optax.adam(1e-2)
-    opt = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), rng=jax.random.PRNGKey(4),
+    )
     repl = NamedSharding(mesh, P())
-    params, opt = jax.device_put((params, opt), repl)
+    state = jax.device_put(state, repl)
     step_build, step_reuse = make_dp_spatial_step(
-        mesh, tx, radii=(0.06, 0.12), halo_cap=cap, neighbor_k=8
+        mesh, tx, cfg, halo_cap=cap
     )
     with mesh:
-        params, opt, l0, _, ovf0, lms = step_build(params, opt, *batch)
-        params, opt, l1, _, ovf1, _ = step_reuse(params, opt, *batch, *lms)
+        state, l0, _, ovf0, lms = step_build(state, *batch)
+        state, l1, _, ovf1, _ = step_reuse(state, *batch, *lms)
     checksum = float(
-        sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params))
+        sum(
+            jnp.sum(jnp.abs(p))
+            for p in jax.tree.leaves((state.params, state.batch_stats))
+        )
     )
     return {
         "losses": [float(l0), float(l1)],
@@ -98,19 +119,32 @@ def run_spatial(role, nprocs):
     from jax import shard_map
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from mccnn_tpu.parallel.sharded_hierarchy import (
-        init_sharded_mcseg,
-        sharded_mcseg_apply,
+    from mccnn_tpu.parallel.sharded_mcseg import (
+        SpatialMCSegConfig,
+        sharded_mcseg_apply_flax,
     )
     from mccnn_tpu.parallel.spatial import shard_points_by_slab
 
-    N_SHARDS, cap, radii = 8, 512, (0.08, 0.2)
+    # conv radii 0.08 (halo/ppermute path — crosses the process boundary
+    # between shards 3|4) and 0.4 (compacted all-gather path — crosses it in
+    # the gather collective): both cross-process source mechanisms covered.
+    N_SHARDS, cap, radii = 8, 512, (0.04, 0.2)
     rng = np.random.default_rng(7)
     n = 2048
     pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     mask = np.ones(n, bool)
     feats = rng.normal(size=(n, 8)).astype(np.float32)
-    params = init_sharded_mcseg(jax.random.PRNGKey(1), 8, (16, 32), 5)
+    cfg = SpatialMCSegConfig(
+        n_classes=5, grow=8, radii=radii, neighbor_k=16, drop_rate=0.0
+    )
+    model = cfg.model()
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        jnp.asarray(np.random.default_rng(9).uniform(0, 1, (1, 96, 3)),
+                    jnp.float32),
+        jnp.ones((1, 96), bool), jnp.ones((1, 96, 8), jnp.float32),
+        train=False,
+    )
     sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
     sf = np.zeros((N_SHARDS, cap, 8), np.float32)
     for s in range(N_SHARDS):
@@ -134,9 +168,9 @@ def run_spatial(role, nprocs):
     gp, gm, gf = glob(sp), glob(sm), glob(sf)
 
     def fn(p, m, f):
-        logits, _, ovf = sharded_mcseg_apply(
-            params, p[0], m[0], f[0], radii=radii, halo_cap=512,
-            axis_name="x", n_shards=N_SHARDS, neighbor_k=16,
+        logits, _, ovf, _ = sharded_mcseg_apply_flax(
+            variables, cfg, p[0], m[0], f[0], halo_cap=512,
+            axis_name="x", n_shards=N_SHARDS, train=False,
         )
         return logits[None], ovf[None]
 

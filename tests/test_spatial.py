@@ -264,84 +264,24 @@ def test_halo_overflow_reported(rng):
     assert int(np.asarray(tiny).sum()) > 0
 
 
-def test_sharded_multilevel_mcseg_exact(rng):
-    """Full multi-level U-Net under spatial sharding (VERDICT r1 #4): given
-    the level masks the sharded hierarchy produced, the sharded network's
-    logits are EXACTLY those of the single-device oracle."""
-    from mccnn_tpu.parallel.sharded_hierarchy import (
-        init_sharded_mcseg,
-        sharded_mcseg_apply,
-        unsharded_mcseg_apply,
-    )
+def test_gather_level_conv_exact_beyond_slab_width(rng):
+    """Ops whose radius exceeds one slab width (0.3 > 1/8) must use the
+    compacted all-gather source path (round-4 soundness fix): a single halo
+    exchange only reaches the adjacent shard and silently loses in-radius
+    sources two slabs away. The gathered conv must equal the unsharded one."""
+    from mccnn_tpu.parallel.spatial import gather_level
 
-    radii = (0.04, 0.1)
-    pts, mask = make_scene(rng, n=4096)
-    feats = rng.normal(size=(len(pts), 8)).astype(np.float32)
-    params = init_sharded_mcseg(jax.random.PRNGKey(1), 8, (16, 32), 5)
-
-    cap = 1024
-    sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
-    sf = np.zeros((N_SHARDS, cap, 8), np.float32)
-    for s in range(N_SHARDS):
-        valid = sidx[s] >= 0
-        sf[s, valid] = feats[sidx[s][valid]]
-
-    def fn(p, m, f):
-        logits, masks, ovf = sharded_mcseg_apply(
-            params, p[0], m[0], f[0], radii=radii, halo_cap=512,
-            axis_name="x", n_shards=N_SHARDS, neighbor_k=16,
-        )
-        return logits[None], [mk[None] for mk in masks], ovf[None]
-
-    with mesh8():
-        logits_sh, masks_sh, ovf = shard_map(
-            fn, mesh=mesh8(), in_specs=(P("x"), P("x"), P("x")),
-            out_specs=(P("x"), [P("x")] * (len(radii) + 1), P("x")),
-            check_vma=False,
-        )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
-    assert int(np.asarray(ovf).sum()) == 0
-    logits_sh = np.asarray(logits_sh)
-    masks_sh = [np.asarray(mk) for mk in masks_sh]
-
-    # scatter shard results back to global point order
-    glogits = np.zeros((len(pts), 5), np.float32)
-    gmasks = [np.zeros(len(pts), bool) for _ in masks_sh]
-    for s in range(N_SHARDS):
-        valid = sidx[s] >= 0
-        glogits[sidx[s][valid]] = logits_sh[s][valid]
-        for i, mk in enumerate(masks_sh):
-            gmasks[i][sidx[s][valid]] = mk[s][valid]
-
-    # hierarchy sanity: levels nest and shrink
-    assert gmasks[0].all()
-    assert 0 < gmasks[2].sum() < gmasks[1].sum() < gmasks[0].sum()
-    assert not (gmasks[1] & ~gmasks[0]).any()
-    assert not (gmasks[2] & ~gmasks[1]).any()
-
-    ref = np.asarray(
-        unsharded_mcseg_apply(
-            params, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(feats),
-            [jnp.asarray(mk) for mk in gmasks], radii=radii, neighbor_k=16,
-        )
-    )
-    np.testing.assert_allclose(glogits, ref, rtol=2e-3, atol=2e-4)
-
-
-def test_sharded_mcseg_dense_backend_exact(rng):
-    """backend="dense" (per-shard fused dense Pallas conv, VERDICT r2 #5):
-    sharded logits == single-device oracle run with the same backend."""
-    from mccnn_tpu.parallel.sharded_hierarchy import (
-        init_sharded_mcseg,
-        sharded_mcseg_apply,
-        unsharded_mcseg_apply,
-    )
-
-    radii = (0.06, 0.12)
+    radius = 0.3
     pts, mask = make_scene(rng, n=1024)
     feats = rng.normal(size=(len(pts), 8)).astype(np.float32)
-    params = init_sharded_mcseg(jax.random.PRNGKey(3), 8, (16, 16), 4)
+    params = init_mcconv_params(jax.random.PRNGKey(2), 8, None)
 
-    cap = 512
+    jp, jm, jf = (jnp.asarray(x)[None] for x in (pts, mask, feats))
+    pdf = jnp.ones((1, len(pts)), jnp.float32)
+    nbh = radius_neighbors(jp, jm, jp, jm, radius, 64)
+    ref = np.asarray(mc_conv(params, jp, nbh, jp, jf, pdf))[0]
+
+    cap = 256
     sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
     sf = np.zeros((N_SHARDS, cap, 8), np.float32)
     for s in range(N_SHARDS):
@@ -349,122 +289,25 @@ def test_sharded_mcseg_dense_backend_exact(rng):
         sf[s, valid] = feats[sidx[s][valid]]
 
     def fn(p, m, f):
-        logits, masks, ovf = sharded_mcseg_apply(
-            params, p[0], m[0], f[0], radii=radii, halo_cap=512,
-            axis_name="x", n_shards=N_SHARDS, neighbor_k=16, backend="dense",
+        p, m, f = p[0], m[0], f[0]
+        aug = gather_level(p, m, {"f": f}, cap, "x")
+        nbh = radius_neighbors(
+            p[None], m[None], aug.points[None], aug.mask[None], radius, 64
         )
-        return logits[None], [mk[None] for mk in masks], ovf[None]
+        pdf1 = jnp.ones((1, aug.points.shape[0]), jnp.float32)
+        out = mc_conv(params, p[None], nbh, aug.points[None],
+                      aug.values["f"][None], pdf1)
+        return out, aug.overflow[None]
 
     with mesh8():
-        logits_sh, masks_sh, ovf = shard_map(
+        out, ovf = shard_map(
             fn, mesh=mesh8(), in_specs=(P("x"), P("x"), P("x")),
-            out_specs=(P("x"), [P("x")] * (len(radii) + 1), P("x")),
-            check_vma=False,
+            out_specs=(P("x"), P("x")), check_vma=False,
         )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
     assert int(np.asarray(ovf).sum()) == 0
-    logits_sh = np.asarray(logits_sh)
-    masks_sh = [np.asarray(mk) for mk in masks_sh]
-
-    glogits = np.zeros((len(pts), 4), np.float32)
-    gmasks = [np.zeros(len(pts), bool) for _ in masks_sh]
+    out = np.asarray(out)
+    got = np.zeros_like(ref)
     for s in range(N_SHARDS):
         valid = sidx[s] >= 0
-        glogits[sidx[s][valid]] = logits_sh[s][valid]
-        for i, mk in enumerate(masks_sh):
-            gmasks[i][sidx[s][valid]] = mk[s][valid]
-
-    ref = np.asarray(
-        unsharded_mcseg_apply(
-            params, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(feats),
-            [jnp.asarray(mk) for mk in gmasks], radii=radii, neighbor_k=16,
-            backend="dense",
-        )
-    )
-    np.testing.assert_allclose(glogits, ref, rtol=2e-3, atol=3e-4)
-
-
-def _dp_sp_scene(rng, n, n_sh, cap, n_classes):
-    pts, mask = make_scene(rng, n=n)
-    lab = rng.integers(0, n_classes, size=n).astype(np.int32)
-    sp, sm, sidx = shard_points_by_slab(pts, mask, n_sh, cap)
-    sf = np.ones((n_sh, cap, 1), np.float32)
-    sl = np.zeros((n_sh, cap), np.int32)
-    for s in range(n_sh):
-        valid = sidx[s] >= 0
-        sl[s, valid] = lab[sidx[s][valid]]
-    return sp, sm, sf, sl
-
-
-def test_dp_spatial_composed(rng):
-    """Composed data x spatial parallelism (2 x 4 mesh): the 2-scene step's
-    loss equals the valid-point-weighted mean of the two 1-scene (1 x 4)
-    losses at the same params; masks cache round-trips; grads flow (params
-    change, stay finite); fully-masked pad scenes contribute nothing."""
-    import optax
-
-    from mccnn_tpu.parallel.dp_spatial import (
-        dp_spatial_mesh,
-        group_scenes,
-        make_dp_spatial_step,
-    )
-    from mccnn_tpu.parallel.sharded_hierarchy import init_sharded_mcseg
-
-    radii, halo_cap, n_classes, cap = (0.06, 0.12), 384, 4, 384
-    scenes = [_dp_sp_scene(rng, 768, 4, cap, n_classes) for _ in range(2)]
-    params = init_sharded_mcseg(jax.random.PRNGKey(7), 1, (8, 8), n_classes)
-    tx = optax.adam(1e-3)
-    opt0 = tx.init(params)
-
-    def run(d_sh, group):
-        mesh = dp_spatial_mesh(d_sh, 4)
-        step_build, step_reuse = make_dp_spatial_step(
-            mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16
-        )
-        batch = tuple(jnp.asarray(x) for x in group)
-        with mesh:
-            out = step_build(params, opt0, *batch)
-            # reuse path at the SAME params/masks must reproduce the loss
-            loss2 = step_reuse(params, opt0, *batch, *out[5])[2]
-        return out, float(loss2)
-
-    (g2,) = group_scenes(scenes, 2)
-    out, loss_reuse = run(2, g2)
-    new_params, _, loss, acc, ovf, lms = out
-    assert int(ovf) == 0
-    assert np.isfinite(float(loss)) and 0.0 <= float(acc) <= 1.0
-    np.testing.assert_allclose(float(loss), loss_reuse, rtol=1e-6)
-    # grads flowed through both mesh axes: every param leaf moved, finite
-    moved = jax.tree.map(
-        lambda a, b: np.isfinite(np.asarray(b)).all()
-        and not np.array_equal(np.asarray(a), np.asarray(b)),
-        params, new_params,
-    )
-    assert all(jax.tree.leaves(moved))
-
-    # per-scene 1 x 4 losses at the same initial params
-    la = run(1, group_scenes(scenes[:1], 1)[0])[0][2]
-    lb = run(1, group_scenes(scenes[1:], 1)[0])[0][2]
-    ca, cb = scenes[0][1].sum(), scenes[1][1].sum()
-    want = (float(la) * ca + float(lb) * cb) / (ca + cb)
-    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
-
-    # padded group (3 scenes, D=2): group 2 = [scene0, dead pad] -> loss == la
-    g_pad = group_scenes(scenes + scenes[:1], 2)[1]  # [scene0, dead(scene0)]
-    assert not g_pad[1][1].any()  # pad scene fully masked
-    out_pad, _ = run(2, g_pad)
-    np.testing.assert_allclose(float(out_pad[2]), float(la), rtol=1e-5)
-
-    # remat=True must change memory, not math: same loss + updated params
-    mesh = dp_spatial_mesh(2, 4)
-    step_rm, _ = make_dp_spatial_step(
-        mesh, tx, radii=radii, halo_cap=halo_cap, neighbor_k=16, remat=True
-    )
-    with mesh:
-        out_rm = step_rm(params, opt0, *tuple(jnp.asarray(x) for x in g2))
-    np.testing.assert_allclose(float(out_rm[2]), float(loss), rtol=1e-6)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
-        ),
-        new_params, out_rm[0],
-    )
+        got[sidx[s][valid]] = out[s][valid]
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
