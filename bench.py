@@ -47,14 +47,15 @@ LAST_VERIFIED = {
     # Metric name carries the _stale suffix so no consumer can mistake the
     # fallback for a live measurement (ADVICE r1); bench also exits nonzero.
     "metric": "mcconv_depthwise_fwdbwd_throughput_stale",
-    "value": 14.6,
+    "value": 14.9,
     "unit": "Mpoints/s/chip",
-    "vs_baseline": 0.49,
+    "vs_baseline": 0.5,
     "stale": True,
     "note": "STALE: TPU unreachable at bench time; value from the last "
-    "successful on-chip run (2026-08-18, dense kernel v2 + dpre-fused "
-    "backward, 0.562 ms/layer full fwd+bwd, chain-difference timing; 32k "
-    "z-tile line that run: 3.25 Mpts/s, 10.1 ms/layer, Hilbert ordering)",
+    "successful on-chip run (2026-08-19, dense kernel v2 + dpre-fused "
+    "backward, 0.548 ms/layer full fwd+bwd, chain-difference timing; that "
+    "run's 32k z-tile line: 3.28 Mpts/s at 10.0 ms/layer, and "
+    "mcclass_s_train_step 7.36 Mpts/s at 1.11 ms)",
 }
 
 
@@ -166,6 +167,14 @@ def main() -> None:
     except Exception as e:  # never let the secondary kill the north-star
         print(f"# big-scene bench failed: {e!r}", file=sys.stderr)
 
+    # Secondary metric (VERDICT r3 #2): model-level throughput — the FULL
+    # MCClassS train step (hierarchy build + convs + BN + head, fwd+bwd+adam)
+    # so hierarchy/step overhead regressions are tracked, not just the kernel.
+    try:
+        print(json.dumps(_bench_mcclass_s_step(jax, jnp)))
+    except Exception as e:
+        print(f"# mcclass_s step bench failed: {e!r}", file=sys.stderr)
+
     mpoints = B * M / best / 1e6
     print(
         json.dumps(
@@ -250,6 +259,68 @@ def _bench_big_scene(jax, jnp):
         "unit": "Mpoints/s/chip",
         "note": f"B=1 N=32k C=128 r=0.05 surface scene, z-order tile kernel, "
         f"{per_layer * 1e3:.1f} ms/layer full fwd+bwd, chain-diff 8->24",
+    }
+
+
+def _bench_mcclass_s_step(jax, jnp):
+    """Full MCClassS train step at B=8 N=1024 grow=16 (tools/profile_step.py
+    config), chain-difference over TrainState like every other line here.
+    History: 1.72 ms (r2) -> 1.10 ms (r4: one-hot sampled-point gathers;
+    hierarchy 58% of the step — the remaining lever, see docs/ROOFLINE.md)."""
+    import functools
+    import time
+
+    import optax  # noqa: F401  (make_optimizer pulls it anyway)
+
+    from mccnn_tpu.models import MCClassS
+    from mccnn_tpu.train import (
+        classification_loss,
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    Bs, Ns, g = 8, 1024, 16
+    rng = np.random.default_rng(0)
+    batch = {
+        "points": jnp.asarray(
+            rng.uniform(0, 1, size=(Bs, Ns, 3)).astype(np.float32)
+        ),
+        "mask": jnp.asarray(np.ones((Bs, Ns), bool)),
+        "labels": jnp.asarray(rng.integers(0, 40, size=Bs), jnp.int32),
+    }
+    model = MCClassS(n_classes=40, grow=g)
+    tx = make_optimizer(lr=1e-3)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(
+        model, tx, lambda lg, b: (classification_loss(lg, b["labels"]), {})
+    )
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(s, n):
+        def body(c, _):
+            new_s, _ = step(c, batch)
+            return new_s, 0
+
+        out, _ = jax.lax.scan(body, s, None, length=n)
+        return jax.tree.map(lambda x: x.sum(), out)
+
+    def best_of(n, reps=3):
+        jax.block_until_ready(chain(state, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(state, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (best_of(120) - best_of(24)) / 96.0
+    return {
+        "metric": "mcclass_s_train_step_throughput",
+        "value": round(Bs * Ns / per_step / 1e6, 2),
+        "unit": "Mpoints/s/chip",
+        "note": f"B={Bs} N={Ns} grow={g} full train step (hierarchy+convs+"
+        f"opt) {per_step * 1e3:.2f} ms, chain-diff 24->120",
     }
 
 

@@ -22,6 +22,7 @@ from typing import NamedTuple, Sequence
 import jax.numpy as jnp
 from jax import Array
 
+from ..core.gather import gather_rows
 from ..core.neighbors import Neighborhood, self_neighbors
 from ..core.sampling import DENSE_SAMPLER_MAX_N, SampleSet, poisson_disk
 
@@ -144,9 +145,7 @@ def build_hierarchy(
             cur_pts, cur_mask, r, cap, neighborhood=nbh, tile_pairs=tile_pairs
         )
         nxt_pts = jnp.where(
-            ss.mask[..., None],
-            jnp.take_along_axis(cur_pts, ss.idx[..., None].repeat(3, -1), axis=1),
-            0.0,
+            ss.mask[..., None], gather_rows(cur_pts, ss.idx), 0.0
         )
         levels[-1] = levels[-1]._replace(self_nbh=nbh)
         levels.append(

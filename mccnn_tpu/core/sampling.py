@@ -300,7 +300,13 @@ def gather_sampled(values: Array, samples: SampleSet) -> Array:
     Reference parity: ``GetSampledFeatures`` (+ its registered gradient, which
     is the scatter-add XLA derives automatically for this gather).
     """
-    out = batched_gather(values, samples.idx)
+    from .gather import gather_rows
+
+    out = (
+        gather_rows(values, samples.idx)
+        if values.ndim == 3
+        else batched_gather(values, samples.idx)
+    )
     extra_dims = out.ndim - samples.mask.ndim
     m = samples.mask.reshape(samples.mask.shape + (1,) * extra_dims)
     return jnp.where(m, out, 0)

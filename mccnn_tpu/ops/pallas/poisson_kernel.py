@@ -96,6 +96,72 @@ def _sweep_kernel(spec: _PSpec, pos_ref, pos_t_ref, cid_ref, color_ref, sel_ref)
     )  # back to (N, 1)
 
 
+def _sweep_kernel_v2(
+    spec: _PSpec, pos_ref, pos_t_ref, cid_ref, color_ref, sel_ref
+):
+    """Sublane-domain sweep (round 4): the entire 27-color loop keeps its
+    state as (N, 1) sublane vectors and replaces the v1 loop's (N, N) VPU
+    elementwise passes (adj*cand + max-reduce, pred*unc + max-reduce, 3
+    identity-transpose matmuls) with TWO MXU matmuls per step:
+
+      blocked_s = pred^T @ unc_s   (dot_general contracting dim 0 with dim 0)
+      new_cov_s = adj    @ cand_s  (adj is symmetric)
+
+    0/1 vectors make max == (sum > 0), so the matmul result only needs a
+    compare, and per step the VPU touches O(N) elements instead of O(N^2).
+
+    MEASURED NEGATIVE RESULT (2026-08-19 on-chip A/B, selections bitwise
+    equal): 0.825 ms vs v1's 0.291 ms at B=8 N=1024. The narrow (N,N)@(N,1)
+    matmuls are MXU-latency-bound and 27 serial steps never fill the
+    pipeline; v1's (N,N) elementwise+reduce passes stream at VPU rate. Kept
+    behind MCCNN_POISSON_SWEEP=v2 for future compilers."""
+    N = spec.N
+    d2 = _pair_d2(pos_ref[0], pos_t_ref[0])  # (N, N); i=sublane, j=lane
+    adj = (d2 <= spec.radius * spec.radius).astype(jnp.float32)
+
+    cid_s = cid_ref[0]  # (N, 1)
+    color_s = color_ref[0]  # (N, 1)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    ).astype(jnp.float32)
+    cid_l = jax.lax.dot_general(  # one transpose OUTSIDE the loop
+        cid_s, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # cell ids exceed bf16 range
+    )
+    idx_s = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).astype(jnp.float32)
+    idx_l = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1).astype(jnp.float32)
+    # pred[i, j]: i is a same-cell predecessor of j (invalid points carry
+    # cid -1 from the wrapper and never match a real cell)
+    pred = ((cid_s == cid_l) & (idx_s < idx_l)).astype(jnp.float32)
+    valid_s = (cid_s >= 0.0).astype(jnp.float32)  # (N, 1)
+
+    def body(c, state):
+        sel_s, cov_s = state  # (N, 1) f32 0/1
+        unc_s = valid_s * (1.0 - cov_s)
+        blocked_s = jax.lax.dot_general(  # pred^T @ unc: (N,1) per j
+            pred, unc_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cand_s = (
+            unc_s
+            * (1.0 - (blocked_s > 0.0).astype(jnp.float32))
+            * (color_s == jnp.float32(c)).astype(jnp.float32)
+        )
+        sel_s = jnp.maximum(sel_s, cand_s)
+        new_cov = jax.lax.dot_general(  # adj @ cand (adj symmetric)
+            adj, cand_s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cov_s = jnp.maximum(cov_s, (new_cov > 0.0).astype(jnp.float32))
+        return sel_s, cov_s
+
+    zero = jnp.zeros((N, 1), jnp.float32)
+    sel_s, _ = jax.lax.fori_loop(0, 27, body, (zero, zero))
+    sel_ref[0] = sel_s
+
+
 def poisson_sweep_pallas(
     points: Array,
     mask: Array,
@@ -118,11 +184,24 @@ def poisson_sweep_pallas(
     pos = jnp.pad(pos, ((0, 0), (0, 0), (0, LANE - 3)))
     pos_t = transposed_tiles(pos, Np)
 
+    import os
+
     spec = _PSpec(N=Np, radius=float(radius), interpret=interpret)
+    # v1 (identity-transpose, (N,N) VPU passes) is the measured winner:
+    # 0.291 ms vs v2's 0.825 ms for the B=8 N=1024 sweep (2026-08-19 on-chip
+    # A/B, bitwise-equal selections). v2's two narrow (N,N)@(N,1) MXU
+    # matmuls per color step are latency-bound — 27 serial steps never fill
+    # the systolic pipeline, while v1's elementwise+reduce passes stream at
+    # VPU rate. Kept selectable for future compilers.
+    kernel = (
+        _sweep_kernel_v2
+        if os.environ.get("MCCNN_POISSON_SWEEP") == "v2"
+        else _sweep_kernel
+    )
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     ix = lambda b: (b, 0, 0)
     (sel,) = pl.pallas_call(
-        functools.partial(_sweep_kernel, spec),
+        functools.partial(kernel, spec),
         grid=(B,),
         in_specs=[
             vm((1, Np, LANE), ix),

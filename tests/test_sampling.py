@@ -144,3 +144,41 @@ def test_tile_sampler_invariants_with_mask(rng):
     assert d.min() >= radius - 1e-6
     cov = np.linalg.norm(pts[0][mask[0]][:, None] - sel[None, :], axis=-1)
     assert cov.min(-1).max() <= radius + 1e-6
+
+
+def test_poisson_sweep_pallas_kernels_match_dense(rng):
+    """Both fused sweep kernels (v1 identity-transpose, v2 sublane/MXU —
+    round 4) must reproduce the dense sampler's selection bitwise in
+    interpret mode."""
+    import os
+    from unittest import mock
+
+    from mccnn_tpu.core.grid import (
+        cell_color27, cell_coords, grid_res_for_radius, linear_cell_ids,
+    )
+    from mccnn_tpu.core.sampling import _poisson_dense
+    from mccnn_tpu.ops.pallas.poisson_kernel import poisson_sweep_pallas
+
+    radius = 0.12
+    B, N = 2, 300  # non-multiple of 8 exercises the padding path
+    pts = jnp.asarray(rng.uniform(0, 1, (B, N, 3)).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[1, 250:] = False
+    mask = jnp.asarray(mask)
+
+    cell_edge = radius / (3.0**0.5)
+    res = grid_res_for_radius(radius, cell_scale=1.0 / (3.0**0.5))
+    coords = cell_coords(pts, cell_edge, res)
+    cids = linear_cell_ids(coords, res)
+    colors = cell_color27(coords)
+
+    want = np.asarray(_poisson_dense(pts, mask, cids, colors, radius) & mask)
+    for version in ("v1", "v2"):
+        with mock.patch.dict(os.environ, {"MCCNN_POISSON_SWEEP": version}):
+            got = np.asarray(
+                poisson_sweep_pallas(
+                    pts, mask, cids, colors, radius, interpret=True
+                )
+                & mask
+            )
+        np.testing.assert_array_equal(got, want, err_msg=version)
