@@ -311,6 +311,52 @@ def _plane_fill(spec, rows, cand, other_t, w1_ref, b1t, sign, abig_ref, pen,
     abig_ref[spec.H * rows :, :] = maskf.astype(FEAT_DTYPE)
 
 
+def _plane_fill_mxu(spec, rows, cand, other_t, w1_ref, b1t, sign, abig_ref,
+                    pen, maskf):
+    """VERDICT r3 #5 variant: generate each pre-plane with a K=2 MXU matmul
+    ``[cw_h | 1] @ [[1...1], [-owT_h]]`` instead of the VPU broadcast
+    subtract, keeping the penalty add + relu + cast on the VPU.
+
+    MEASURED NEGATIVE RESULT (2026-08-19 on-chip A/B, full fwd+bwd at the
+    bench config): 0.611 ms vs the VPU baseline's 0.569 ms. Offloading the
+    subtract buys nothing because VPU and MXU strictly serialize under this
+    Mosaic (docs/ROOFLINE.md round-3 co-issue probe) and eight K=2 matmuls
+    per grid step are latency-bound — the same failure signature as the
+    poisson sweep v2 A/B the same day. With this, the round-3 serialized
+    floor analysis, and the carry-reuse option ruled out by VMEM capacity
+    (H+1 planes of (N, M) bf16 = 18 MB/cloud), the dense kernel is CLOSED at
+    ~0.55 ms/layer ≈ 93 % of its serialized floor; big-scene throughput
+    discussion lives on the 32k tile line. Behind MCCNN_DENSE_PLANES=mxu."""
+    inv_r = 1.0 / spec.radius
+    cw = (
+        jnp.dot(cand[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
+        * (sign * inv_r)
+        + b1t
+    )  # (rows, H)
+    owT = (
+        jax.lax.dot_general(
+            w1_ref[:], other_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * (sign * inv_r)
+    )  # (H, TILE)
+    ones_col = jnp.ones((rows, 1), jnp.float32)
+    ones_row = jnp.ones((1, other_t.shape[-1]), jnp.float32)
+    for h in range(spec.H):
+        lhs = jnp.concatenate([cw[:, h : h + 1], ones_col], axis=1)  # (rows,2)
+        rhs = jnp.concatenate([ones_row, -owT[h : h + 1, :]], axis=0)  # (2,S)
+        pre = (
+            jnp.dot(lhs, rhs, preferred_element_type=jnp.float32) + pen
+        )
+        abig_ref[h * rows : (h + 1) * rows, :] = jnp.maximum(pre, 0.0).astype(
+            FEAT_DTYPE
+        )
+    abig_ref[spec.H * rows :, :] = maskf.astype(FEAT_DTYPE)
+
+
+_PLANES_MXU = os.environ.get("MCCNN_DENSE_PLANES") == "mxu"
+
+
 def _fwd_kernel_b(
     spec: _DSpec,
     n_tiles: int,
@@ -360,7 +406,8 @@ def _fwd_kernel_b(
     cnt = jnp.sum(maskf, axis=0)
     pen = jnp.where(maskb, 0.0, _NEG)
     # fwd orientation: offset = cand_p - smp_s => cand carries +, sample -
-    _plane_fill(
+    fill = _plane_fill_mxu if _PLANES_MXU else _plane_fill
+    fill(
         spec, spec.N, cand, smp_t, w1_ref, b1t_ref[:], 1.0, abig_ref, pen,
         maskf,
     )

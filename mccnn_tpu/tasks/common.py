@@ -75,6 +75,44 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def maybe_auto_tile_pairs(model, example_batch: dict):
+    """Library-level tile auto-dispatch (VERDICT r3 #3).
+
+    Whenever a model exposes a ``tile_pairs`` knob left unset and the
+    workload is big-scene scale (points beyond the dense kernel's VMEM
+    bound), size the static z-order tile-pair capacity host-side from the
+    example batch (``ops.pallas.auto_tile_pairs``) and return the model with
+    it set — so EVERY entry point that goes through the Runner or the export
+    CLI gets the measured-best backend (tile: 3.3 Mpts/s at 32k vs bucket's
+    0.4) without flags. The capacity can't be sized under jit (it is a static
+    shape derived from concrete data), which is why this lives at the task
+    boundary where a concrete example batch exists; direct ``model.apply``
+    users at big N either pass ``tile_pairs`` themselves or get the
+    capacity-free bucket fallback. Overflow on later, denser batches is still
+    counted and fatal (MCConv sows it; train_epoch raises)."""
+    if getattr(model, "tile_pairs", False) is not None:
+        return model  # knob absent, or caller already sized it
+    pts = np.asarray(example_batch["points"])
+    from ..ops.pallas.dense_conv import DENSE_MAX_N
+
+    if pts.shape[1] <= DENSE_MAX_N:
+        return model
+    import jax.numpy as jnp
+
+    from ..ops.pallas.tile_conv import auto_tile_pairs
+
+    # the largest level-0 site radius bounds every deeper/smaller site
+    radius = float(model.radii[0]) * float(
+        getattr(model, "conv_radius_scale", 2.0)
+    )
+    cap = auto_tile_pairs(
+        jnp.asarray(pts), jnp.asarray(np.asarray(example_batch["mask"])),
+        radius,
+    )
+    print(f"# auto tile_pairs = {cap} (N={pts.shape[1]}, r0={radius})")
+    return model.clone(tile_pairs=cap)
+
+
 class Runner:
     """Owns mesh, jitted steps, checkpointing, and the epoch loop."""
 
@@ -87,6 +125,7 @@ class Runner:
         run_name: str,
     ):
         self.args = args
+        model = maybe_auto_tile_pairs(model, example_batch)
         self.model = model
         # Largest device count that divides the batch (DP shards the batch).
         n_dev = len(jax.devices())

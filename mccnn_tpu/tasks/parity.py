@@ -135,6 +135,21 @@ def main(argv=None):
     p.add_argument("--votes", type=int, default=8)
     p.add_argument("--target", type=float, default=None)
     p.add_argument("--gate", type=float, default=None)
+    p.add_argument(
+        "--sweep-protocols",
+        action="store_true",
+        help="BASELINE config 2 as ONE verdict (VERDICT r3 #6): train once, "
+        "then evaluate under uniform + all four non-uniform sampling "
+        "protocols; emits the uniform accuracy, the four deltas (the paper's "
+        "robustness table shape), and pass/fail against --max-degradation",
+    )
+    p.add_argument(
+        "--max-degradation",
+        type=float,
+        default=0.03,
+        help="with --sweep-protocols: max allowed accuracy drop under any "
+        "non-uniform protocol (paper: MCClassH degrades only ~1-2 pts)",
+    )
     # reference-protocol defaults ([M]): 1024 pts, batch 32, Adam 1e-3 with
     # exponential decay, BN decay schedule on, dropout in the model defaults
     p.set_defaults(
@@ -198,6 +213,49 @@ def main(argv=None):
             if res["accuracy"] > best:
                 best = res["accuracy"]
                 runner.save(epoch + 1)
+
+    if args.sweep_protocols:
+        # BASELINE config 2 (the paper's robustness table) as one verdict:
+        # the SAME trained weights evaluated under every sampling protocol.
+        sweep = {}
+        train_protocol = args.protocol
+        for proto in ("uniform", "gradient", "split", "lambert", "occlusion"):
+            args.protocol = proto
+            sweep[proto] = modelnet.evaluate(
+                runner, test_src, args, args.votes,
+                np.random.default_rng(args.seed + 100),
+            )["accuracy"]
+        args.protocol = train_protocol
+        runner.close()
+        uni = sweep["uniform"]
+        deltas = {
+            k: round(uni - v, 4) for k, v in sweep.items() if k != "uniform"
+        }
+        worst = max(deltas.values())
+        uni_target = target
+        uni_ok = bool(uni >= uni_target - args.gate)
+        verdict = {
+            "metric": "modelnet40_protocol_robustness",
+            "model": args.model,
+            "uniform_accuracy": round(uni, 4),
+            "uniform_target": uni_target,
+            "deltas": deltas,
+            "worst_degradation": round(worst, 4),
+            "max_degradation": args.max_degradation,
+            "pass": bool(uni_ok and worst <= args.max_degradation),
+            "proxy": proxy,
+            "votes": args.votes,
+            "train_protocol": train_protocol,
+            "seed": args.seed,
+        }
+        if proxy:
+            verdict["note"] = (
+                "synthetic proxy run; uniform target is a learnability "
+                "floor, not the paper number"
+            )
+        print(json.dumps(verdict))
+        return verdict
+
     runner.close()
 
     verdict = {

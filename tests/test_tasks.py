@@ -313,3 +313,25 @@ def test_parity_harness_other_tasks(tmp_path, task, key):
     assert v["proxy"] is True
     assert key in v
     assert v["metric"] == f"{task}_parity"
+
+
+def test_parity_protocol_sweep(tmp_path):
+    """BASELINE config 2 as ONE verdict (VERDICT r3 #6): --sweep-protocols
+    trains once and evaluates under all five sampling protocols, emitting the
+    uniform number, four deltas, and a bounded-degradation pass/fail."""
+    from mccnn_tpu.tasks import parity
+
+    v = parity.main(
+        [
+            "--synthetic", "--epochs", "2", "--batch", "8", "--points", "64",
+            "--grow", "8", "--steps-per-epoch", "2", "--votes", "2",
+            "--eval-every", "1", "--model", "MCClassH",
+            "--sweep-protocols", "--max-degradation", "1.0",
+            "--ckpt-dir", str(tmp_path / "ck"), "--log-dir", str(tmp_path / "lg"),
+        ]
+    )
+    assert v["metric"] == "modelnet40_protocol_robustness"
+    assert set(v["deltas"]) == {"gradient", "split", "lambert", "occlusion"}
+    assert 0.0 <= v["uniform_accuracy"] <= 1.0
+    assert isinstance(v["pass"], bool) and v["proxy"] is True
+    assert v["worst_degradation"] <= 1.0

@@ -107,3 +107,45 @@ def test_spatial_cache_pdf_tile_path(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3
     )
+
+
+def test_runner_auto_sizes_tile_pairs(rng):
+    """Library-level tile auto-dispatch (VERDICT r3 #3): a big-N MCSeg with
+    no tile_pairs flag entering the task boundary gets the capacity sized
+    from the example batch; small-N and pre-sized models pass untouched."""
+    from mccnn_tpu.models import MCSeg
+    from mccnn_tpu.tasks.common import maybe_auto_tile_pairs
+
+    B, N = 1, 4096
+    batch = {
+        "points": rng.uniform(0, 1, (B, N, 3)).astype(np.float32),
+        "mask": np.ones((B, N), bool),
+    }
+    model = MCSeg(n_classes=4, grow=8, radii=(0.05, 0.15))
+    sized = maybe_auto_tile_pairs(model, batch)
+    assert sized.tile_pairs is not None and sized.tile_pairs > 0
+    # consistency: at least the lossless count, with headroom, 256-rounded
+    from mccnn_tpu.ops.pallas import count_tile_pairs
+
+    true = int(
+        count_tile_pairs(
+            jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]),
+            jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]), 0.1,
+        ).max()
+    )
+    assert sized.tile_pairs >= true
+    assert sized.tile_pairs % 256 == 0
+
+    # small N: untouched
+    small = {
+        "points": batch["points"][:, :512], "mask": batch["mask"][:, :512]
+    }
+    assert maybe_auto_tile_pairs(model, small).tile_pairs is None
+    # pre-sized: untouched
+    pre = model.clone(tile_pairs=1024)
+    assert maybe_auto_tile_pairs(pre, batch).tile_pairs == 1024
+    # no knob (classifier): untouched
+    from mccnn_tpu.models import MCClassS
+
+    clf = MCClassS(n_classes=4, grow=8)
+    assert maybe_auto_tile_pairs(clf, batch) is clf

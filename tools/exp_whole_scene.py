@@ -88,6 +88,16 @@ def main():
     print(f"whole-scene train step: {best*1e3:.1f} ms raw "
           f"(~{(best-0.030)*1e3:.1f} ms net) loss={float(m['loss']):.4f}",
           flush=True)
+    try:  # peak HBM: the --remat memory story (VERDICT r3 #4)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"peak HBM: {peak / 2**30:.2f} GiB "
+                  f"(now {stats.get('bytes_in_use', 0) / 2**30:.2f} GiB, "
+                  f"limit {stats.get('bytes_limit', 0) / 2**30:.2f} GiB)",
+                  flush=True)
+    except Exception as e:
+        print(f"memory_stats unavailable: {e!r}", flush=True)
 
     if "--breakdown" in sys.argv:
         # hierarchy-only cost (chain-difference: the step is O(100 ms) so a
