@@ -35,6 +35,31 @@ def conv_backend() -> str:
     return "auto"
 
 
+def dense_fits(n_sources: int, c_in: int, c_out: int | None,
+               n_samples: int | None = None) -> bool:
+    """VMEM-envelope gate for the dense kernel (v2, batched scratches).
+
+    The fused BACKWARD grids over source tiles and holds, per grid step,
+    the full sample-side working set in VMEM: the stacked pair-plane scratch
+    ``abig`` ((H+1)*M, TILE) bf16, the hoisted ``D`` matmul output
+    (H*M, TILE) f32, and ``tbig`` (H*M, C') bf16 — with H=8, TILE=256,
+    C'=128 that is ~14.8 KiB per sample row, so M is capped at ~3k against
+    the 64 MiB scoped-vmem limit. Found the hard way (round 4): an 8192-
+    sample decoder conv (2k sources -> dense by the old bound) failed
+    Mosaic compilation with a 122.89 MiB stack allocation. Sites beyond the
+    cap route to bucket (capacity-free) or tile (when a pair capacity is
+    configured — MCConv promotes bucket->tile)."""
+    from .pallas.dense_conv import DENSE_MAX_N
+
+    c_eff = max(c_in, c_out or 0, 128)
+    m = n_sources if n_samples is None else n_samples
+    return (
+        n_sources <= DENSE_MAX_N
+        and n_sources * c_eff <= 3072 * 256
+        and m * c_eff <= 3072 * 128
+    )
+
+
 def pick_backend(
     n_sources: int,
     radius: float,
@@ -47,19 +72,7 @@ def pick_backend(
         return mode
     if jax.default_backend() != "tpu":
         return "jnp"  # interpret-mode pallas is test-only
-    from .pallas.dense_conv import DENSE_MAX_N
-
-    c_eff = max(c_in, c_out or 0, 128)
-    # The dense BACKWARD holds the full sample meta + dout in VMEM and its
-    # pair planes scale with the sample count — an upsampling site with few
-    # sources but a huge sample side must not pick dense (observed: 289 MB
-    # of VMEM at a 2k-source -> 16k-sample decoder conv).
-    m = n_sources if n_samples is None else n_samples
-    if (
-        n_sources <= DENSE_MAX_N
-        and n_sources * c_eff <= 3072 * 256
-        and m * c_eff <= 8192 * 128
-    ):
+    if dense_fits(n_sources, c_in, c_out, n_samples):
         return "dense"
     if math.ceil(1.0 / radius) >= 4:
         return "bucket"

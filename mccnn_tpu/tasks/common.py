@@ -62,8 +62,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--remat",
         action="store_true",
         help="rematerialize activations in the backward (jax.checkpoint "
-        "around the forward): ~1 extra forward of compute for a large peak-"
-        "HBM cut — lets whole-scene configs fit bigger N on one chip",
+        "around the forward). Measured on the whole-scene path (round 4, "
+        "docs/ROUND4.md): NOT useful there — XLA already keeps the fused "
+        "step's workspace tiny (131k pts = 0.54 GiB) and remat ADDS memory "
+        "and ~1.7x time. Kept for configs where activations dominate",
     )
     p.add_argument(
         "--profile-dir",

@@ -115,3 +115,19 @@ def test_mean_normalize_parity(rng):
     for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gd)):
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(b, a, rtol=3e-2, atol=3e-2 * np.abs(a).max() + 1e-6)
+
+
+def test_dense_fits_vmem_envelope():
+    """Round-4 dispatch fix: the v2 backward holds ~14.8 KiB of VMEM per
+    sample row (abig + D + tbig scratches), so big-sample decoder sites must
+    not pick dense — an 8192-sample conv failed Mosaic with a 122.89 MiB
+    stack allocation before this bound."""
+    from mccnn_tpu.ops.dispatch import dense_fits
+
+    assert dense_fits(1024, 128, None, n_samples=1024)  # bench config
+    assert dense_fits(2048, 64, None, n_samples=2048)
+    # the soak's failing site: 2k sources -> 8k samples
+    assert not dense_fits(2048, 128, None, n_samples=8192)
+    assert not dense_fits(2048, 128, None, n_samples=4096)
+    # source-side bounds unchanged
+    assert not dense_fits(4096, 128, None, n_samples=1024)

@@ -84,6 +84,11 @@ def main():
         blocks_per_epoch=args.batch * (args.steps + 4),
     )
     first = next(it)
+    # mirror the task boundary: size the tile capacity from the first batch
+    # (big-N sites then route tile instead of bucket/dense)
+    from mccnn_tpu.tasks.common import maybe_auto_tile_pairs
+
+    model = maybe_auto_tile_pairs(model, first)
     state = init_state(model, tx, jax.random.PRNGKey(0), first)
     step = jax.jit(make_train_step(model, tx, loss_fn), donate_argnums=0)
     state, m = step(state, first)  # compile

@@ -39,10 +39,12 @@ def main():
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(pos[0]) if pos else 32768
-    B = 1
+    B, grow = 1, 16
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             B = int(a.split("=")[1])
+        if a.startswith("--grow="):
+            grow = int(a.split("=")[1])
     rng = np.random.default_rng(0)
     pts = jnp.asarray(np.stack([surface_scene(rng, N) for _ in range(B)]))
     mask = jnp.ones((B, N), bool)
@@ -56,7 +58,7 @@ def main():
         S = int(pos[1])
     print(f"N={N} B={B} tile_pairs={S}", flush=True)
 
-    model = MCSeg(n_classes=8, grow=16, radii=(0.05, 0.15, 0.4), tile_pairs=S)
+    model = MCSeg(n_classes=8, grow=grow, radii=(0.05, 0.15, 0.4), tile_pairs=S)
 
     def loss_fn(logits, batch):
         return (
@@ -67,12 +69,34 @@ def main():
     batch = {"points": pts, "mask": mask, "labels": labels}
     tx = make_optimizer(lr=1e-3)
     t0 = time.perf_counter()
-    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+    if "--mem-only" in sys.argv:
+        # abstract init: memory_analysis only needs shapes — skips the
+        # (minutes-long) real init compile through the remote helper
+        state = jax.eval_shape(
+            lambda b: init_state(model, tx, jax.random.PRNGKey(0), b), batch
+        )
+    else:
+        state = init_state(model, tx, jax.random.PRNGKey(0), batch)
     print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
     step = jax.jit(
         make_train_step(model, tx, loss_fn, remat="--remat" in sys.argv),
         donate_argnums=0,
     )
+
+    try:
+        # XLA's compiled memory analysis — the remat story's peak-HBM
+        # evidence (device memory_stats() is None under the axon relay).
+        ma = step.lower(state, batch).compile().memory_analysis()
+        print(
+            f"XLA memory: temp {ma.temp_size_in_bytes / 2**30:.2f} GiB, "
+            f"args {ma.argument_size_in_bytes / 2**30:.2f} GiB, "
+            f"output {ma.output_size_in_bytes / 2**30:.2f} GiB",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"memory_analysis unavailable: {e!r}", flush=True)
+    if "--mem-only" in sys.argv:
+        return
 
     t0 = time.perf_counter()
     state, m = step(state, batch)

@@ -33,20 +33,25 @@ run() { # run <name> <timeout_s> <cmd...>
   echo "== $name rc=$rc"
 }
 
-# 1. North-star bench (dense kernel line + 32k z-tile line).
-run bench 2400 python bench.py
+# 1. North-star bench (dense + 32k z-tile + MCClassS full-step lines).
+run bench 3000 python bench.py
 
-# 2. Big-scene tile conv A/B at the 32k config.
-run exp_32k_tile 1800 python tools/exp_32k_tile.py 128 8
+# 2. MCClassS step breakdown (hierarchy share — r4 small-N item).
+run profile_step 2400 python tools/profile_step.py
 
 # 3. Whole-scene 32k train step breakdown (hierarchy share).
 run exp_whole_scene_32k 1800 python tools/exp_whole_scene.py 32768 --breakdown
 
-# 4. Whole-scene scaling: 65k, then 131k (with remat the memory story).
+# 4. Whole-scene scaling (r4 numbers in docs/ROUND4.md: 65k 104 ms,
+#    131k 305 ms net; remat not useful at grow 16 — re-run after any
+#    tile/hierarchy kernel change).
 run exp_whole_scene_65k 2400 python tools/exp_whole_scene.py 65536
-run exp_whole_scene_131k 3000 python tools/exp_whole_scene.py 131072 --remat
+run exp_whole_scene_131k 3000 python tools/exp_whole_scene.py 131072
 
-# 5. Entry-point compile check on the real chip.
+# 5. Data-pipeline soak at ScanNet scene count (steps/s + input stall).
+run data_soak 3000 python tools/exp_data_soak.py --scenes 1200 --steps 40
+
+# 6. Entry-point compile check on the real chip.
 run graft_entry 1800 python __graft_entry__.py
 
 echo "== done; update LAST_VERIFIED in bench.py + docs/ROUND3.md from $OUT"
