@@ -21,7 +21,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mcconv_kernel import LANE, _pair_d2, transposed_tiles
+from .mcconv_kernel import FEAT_DTYPE, LANE, _pair_d2, transposed_tiles
 
 MAX_N = 1024  # (N, N) f32 pair matrices must fit VMEM
 
@@ -162,6 +162,88 @@ def _sweep_kernel_v2(
     sel_ref[0] = sel_s
 
 
+SWEEP_WINDOW = 256  # static lane window of the color-sorted v3 sweep
+
+
+def _sweep_kernel_v3(
+    spec: _PSpec, starts_ref, pos_ref, pos_t_ref, cid_ref, meta_l_ref,
+    sel_ref, adj_ref, cov_ref,
+):
+    """Color-sorted windowed sweep (round 4): points arrive sorted by
+    (color, cell, index), so each color's candidates occupy one contiguous
+    run. The per-color step then touches only a static W-lane window around
+    that run instead of the full (N, N) plane:
+
+      * blocked/cand: a (W, W) same-cell predecessor pass (cells are
+        contiguous inside a color run),
+      * coverage: an (N, W) slice of a precomputed bf16 adjacency scratch
+        (bf16 halves the scratch; 0/1 values are exact).
+
+    VPU elements per sweep drop from v1's 27 * O(N^2) to 27 * O(N*W)
+    (~3x less at N=1024, W=256) — but MEASURED NEUTRAL on-chip (0.318 vs
+    0.288 ms at B=8 N=1024, selections bitwise equal): the loop is bound
+    by per-op issue latency, not element throughput, see the wrapper's
+    variant history. Window starts are 128-aligned scalars (SMEM prefetch
+    + ``pl.multiple_of`` so Mosaic can prove the lane slices legal); a
+    color run longer than W falls back to the v1 kernel via the wrapper's
+    lax.cond (counted outside, exact)."""
+    N, W = spec.N, SWEEP_WINDOW
+    b = pl.program_id(0)
+    d2 = _pair_d2(pos_ref[0], pos_t_ref[0])  # (N, N) sorted domain
+    # adjacency stored bf16 (0/1 exact): halves the scratch so the kernel
+    # fits the 16 MiB scoped-vmem limit inside scan contexts (f32 blew it
+    # at 17.41 MiB)
+    adj_ref[:] = (d2 <= spec.radius * spec.radius).astype(FEAT_DTYPE)
+    cov_ref[:] = jnp.zeros((N, 1), jnp.float32)
+    sel_ref[0] = jnp.zeros((N, 1), jnp.float32)
+    # lane views of the per-point metadata arrive precomputed from the
+    # wrapper (row 0: cell id, row 1: color) — building them in-kernel via
+    # constant-eye transposes needs two (N, N) iotas + an (N, N) eye live at
+    # once and blew the 16 MiB scoped-vmem stack (17.09 MiB, on-chip).
+
+    eye_w = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    ).astype(jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    def body(c, _):
+        # the wrapper 128-aligns every window start; the hint lets Mosaic
+        # prove the lane-dim slices legal (it cannot infer it from SMEM data)
+        s = pl.multiple_of(starts_ref[b, c], 128)
+        cid_w = cid_ref[0, pl.ds(s, W), :]  # (W, 1)
+        cov_w = cov_ref[pl.ds(s, W), :]
+        valid_w = (cid_w >= 0.0).astype(jnp.float32)
+        unc_w = valid_w * (1.0 - cov_w)  # (W, 1)
+        cid_l = meta_l_ref[0, 0:1, pl.ds(s, W)]  # (1, W)
+        col_l = meta_l_ref[0, 1:2, pl.ds(s, W)]
+        pred_w = ((cid_w == cid_l) & (iota_s < iota_l)).astype(jnp.float32)
+        blocked_l = jnp.max(pred_w * unc_w, axis=0, keepdims=True)  # (1, W)
+        unc_l = jax.lax.dot_general(  # (W,1) -> (1,W)
+            unc_w, eye_w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cand_l = (
+            unc_l
+            * (1.0 - blocked_l)
+            * (col_l == jnp.float32(c)).astype(jnp.float32)
+        )  # (1, W)
+        cand_s = jax.lax.dot_general(  # back to sublanes for the window write
+            eye_w, cand_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sel_ref[0, pl.ds(s, W), :] = jnp.maximum(
+            sel_ref[0, pl.ds(s, W), :], cand_s
+        )
+        prod = adj_ref[:, pl.ds(s, W)] * cand_l.astype(FEAT_DTYPE)  # (N, W)
+        new_cov = jnp.max(prod.astype(jnp.float32), axis=1, keepdims=True)
+        cov_ref[:] = jnp.maximum(cov_ref[:], new_cov)
+        return 0
+
+    jax.lax.fori_loop(0, 27, body, 0)
+
+
 def poisson_sweep_pallas(
     points: Array,
     mask: Array,
@@ -187,30 +269,107 @@ def poisson_sweep_pallas(
     import os
 
     spec = _PSpec(N=Np, radius=float(radius), interpret=interpret)
-    # v1 (identity-transpose, (N,N) VPU passes) is the measured winner:
-    # 0.291 ms vs v2's 0.825 ms for the B=8 N=1024 sweep (2026-08-19 on-chip
-    # A/B, bitwise-equal selections). v2's two narrow (N,N)@(N,1) MXU
-    # matmuls per color step are latency-bound — 27 serial steps never fill
-    # the systolic pipeline, while v1's elementwise+reduce passes stream at
-    # VPU rate. Kept selectable for future compilers.
-    kernel = (
-        _sweep_kernel_v2
-        if os.environ.get("MCCNN_POISSON_SWEEP") == "v2"
-        else _sweep_kernel
-    )
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     ix = lambda b: (b, 0, 0)
-    (sel,) = pl.pallas_call(
-        functools.partial(kernel, spec),
-        grid=(B,),
-        in_specs=[
-            vm((1, Np, LANE), ix),
-            vm((1, 8, Np), ix),
-            vm((1, Np, 1), ix),
-            vm((1, Np, 1), ix),
-        ],
-        out_specs=[vm((1, Np, 1), ix)],
-        out_shape=[jax.ShapeDtypeStruct((B, Np, 1), jnp.float32)],
-        interpret=interpret,
-    )(pos, pos_t, cidf[..., None], colf[..., None], )
-    return (sel[:, :N0, 0] > 0.5) & mask
+
+    def call_v1(kernel, pos, pos_t, cidf, colf):
+        (sel,) = pl.pallas_call(
+            functools.partial(kernel, spec),
+            grid=(B,),
+            in_specs=[
+                vm((1, Np, LANE), ix),
+                vm((1, 8, Np), ix),
+                vm((1, Np, 1), ix),
+                vm((1, Np, 1), ix),
+            ],
+            out_specs=[vm((1, Np, 1), ix)],
+            out_shape=[jax.ShapeDtypeStruct((B, Np, 1), jnp.float32)],
+            interpret=interpret,
+        )(pos, pos_t, cidf[..., None], colf[..., None])
+        return sel
+
+    # Variant history (2026-08-19 on-chip A/Bs, selections identical):
+    #   v1 identity-transpose (N,N) VPU passes: 0.288 ms (B=8 N=1024) — DEFAULT
+    #   v2 sublane/MXU matmuls: 0.825 ms — narrow serial matmuls are
+    #      MXU-latency-bound; kept for future compilers
+    #   v3 color-sorted W=256 windows: 0.318 ms — NEUTRAL-to-slightly-worse
+    #      despite ~3x fewer VPU elements per step (O(N*W) strips vs O(N^2)
+    #      planes; wrapper sort/unsort measured at only 0.014 ms). Together
+    #      with the v2 result this pins the cost model: the 27-step loop is
+    #      bound by per-op issue latency (~1.35 us/color-step/batch-item),
+    #      not element throughput, so shrinking the planes cannot help at
+    #      N=1024. Kept behind MCCNN_POISSON_SWEEP=v3: its window strips are
+    #      the only variant whose VMEM and work scale subquadratically, so it
+    #      is the starting point if MAX_N is ever raised past 1024.
+    variant = os.environ.get("MCCNN_POISSON_SWEEP", "v1")
+    if variant == "v2":
+        sel = call_v1(_sweep_kernel_v2, pos, pos_t, cidf, colf)
+        return (sel[:, :N0, 0] > 0.5) & mask
+    if variant == "v1" or Np <= SWEEP_WINDOW:
+        sel = call_v1(_sweep_kernel, pos, pos_t, cidf, colf)
+        return (sel[:, :N0, 0] > 0.5) & mask
+
+    # ---- v3: sort by (color, cell, index); windows per color ----
+    W = SWEEP_WINDOW
+    key = jnp.where(
+        cidf >= 0.0,
+        colf.astype(jnp.int32) * (1 << 24) + cidf.astype(jnp.int32),
+        jnp.int32(2**30),
+    )
+    order = jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
+    take = lambda x: jnp.take_along_axis(x, order, axis=-1)
+    cid_s = take(cidf)
+    col_s = take(colf)
+    pos_s = jnp.take_along_axis(pos, order[..., None], axis=1)
+    pos_t_s = transposed_tiles(pos_s, Np)
+
+    counts = jnp.sum(
+        (colf[..., None] == jnp.arange(27, dtype=colf.dtype))
+        & (cidf >= 0.0)[..., None],
+        axis=1,
+    ).astype(jnp.int32)  # (B, 27)
+    starts_x = jnp.cumsum(counts, axis=-1) - counts  # exclusive
+    aligned = jnp.minimum((starts_x // 128) * 128, Np - W)
+    fits = jnp.all(starts_x + counts <= aligned + W)
+    starts = jnp.pad(aligned, ((0, 0), (0, 5)))  # (B, 32) SMEM-friendly
+
+    def v3_branch(ops):
+        starts, pos_s, pos_t_s, cid_s, col_s, order, _pos, _pos_t, _cid, _col = ops
+        meta_l = jnp.stack([cid_s, col_s], axis=1)  # (B, 2, Np) lane views
+        (sel_sorted,) = pl.pallas_call(
+            functools.partial(_sweep_kernel_v3, spec),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B,),
+                in_specs=[
+                    vm((1, Np, LANE), lambda b, st: (b, 0, 0)),
+                    vm((1, 8, Np), lambda b, st: (b, 0, 0)),
+                    vm((1, Np, 1), lambda b, st: (b, 0, 0)),
+                    vm((1, 2, Np), lambda b, st: (b, 0, 0)),
+                ],
+                out_specs=[vm((1, Np, 1), lambda b, st: (b, 0, 0))],
+                scratch_shapes=[
+                    pltpu.VMEM((Np, Np), FEAT_DTYPE),
+                    pltpu.VMEM((Np, 1), jnp.float32),
+                ],
+            ),
+            out_shape=[jax.ShapeDtypeStruct((B, Np, 1), jnp.float32)],
+            interpret=interpret,
+        )(starts, pos_s, pos_t_s, cid_s[..., None], meta_l)
+        sel_sorted = sel_sorted[..., 0] > 0.5  # (B, Np) sorted domain
+
+        def unsort(o, s):
+            return jnp.zeros((Np,), bool).at[o].set(s)
+
+        return jax.vmap(unsort)(order, sel_sorted)
+
+    def v1_branch(ops):
+        _starts, _ps, _pts, _cs, _cols, _order, pos, pos_t, cidf, colf = ops
+        sel = call_v1(_sweep_kernel, pos, pos_t, cidf, colf)
+        return sel[..., 0] > 0.5
+
+    sel = jax.lax.cond(
+        fits, v3_branch, v1_branch,
+        (starts, pos_s, pos_t_s, cid_s, col_s, order, pos, pos_t, cidf, colf),
+    )
+    return sel[:, :N0] & mask

@@ -173,7 +173,7 @@ def test_poisson_sweep_pallas_kernels_match_dense(rng):
     colors = cell_color27(coords)
 
     want = np.asarray(_poisson_dense(pts, mask, cids, colors, radius) & mask)
-    for version in ("v1", "v2"):
+    for version in ("v1", "v2", "v3"):
         with mock.patch.dict(os.environ, {"MCCNN_POISSON_SWEEP": version}):
             got = np.asarray(
                 poisson_sweep_pallas(
@@ -182,3 +182,24 @@ def test_poisson_sweep_pallas_kernels_match_dense(rng):
                 & mask
             )
         np.testing.assert_array_equal(got, want, err_msg=version)
+
+    # pathological color run (> W lanes): every point in one cell-color class
+    # -> the v3 wrapper's fits-check must route to the v1 fallback, exactly
+    tight = jnp.asarray(
+        (0.30 + 0.0015 * rng.uniform(0, 1, (1, 300, 3))).astype(np.float32)
+    )
+    tmask = jnp.ones((1, 300), bool)
+    tcoords = cell_coords(tight, cell_edge, res)
+    tcids = linear_cell_ids(tcoords, res)
+    tcolors = cell_color27(tcoords)
+    want_t = np.asarray(
+        _poisson_dense(tight, tmask, tcids, tcolors, radius) & tmask
+    )
+    with mock.patch.dict(os.environ, {"MCCNN_POISSON_SWEEP": "v3"}):
+        got_t = np.asarray(
+            poisson_sweep_pallas(
+                tight, tmask, tcids, tcolors, radius, interpret=True
+            )
+            & tmask
+        )
+    np.testing.assert_array_equal(got_t, want_t, err_msg="v3 fallback")
