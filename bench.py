@@ -202,7 +202,7 @@ def _bench_big_scene(jax, jnp):
     import time
 
     from mccnn_tpu.core import init_mcconv_params
-    from mccnn_tpu.ops.pallas import count_tile_pairs, tile_mc_conv
+    from mccnn_tpu.ops.pallas import count_tile_steps, tile_mc_conv
 
     NB, RB, CB = 32768, 0.05, 128
     rng = np.random.default_rng(1)
@@ -223,11 +223,16 @@ def _bench_big_scene(jax, jnp):
     feats = jnp.asarray(rng.normal(size=(1, NB, CB)).astype(np.float32))
     pdf = jnp.ones((1, NB), jnp.float32)
     params = init_mcconv_params(jax.random.PRNGKey(0), CB, None)
-    pairs = int(count_tile_pairs(pts, mask, pts, mask, RB).max())
+    # exact lossless step budget for this fixed scene (max_pairs is then
+    # non-binding; the step cap is the kernels' true capacity)
+    steps = int(count_tile_steps(pts, mask, pts, mask, RB).max())
 
     def loss(pp, f):
         return jnp.sum(
-            tile_mc_conv(pp, pts, mask, pts, mask, f, pdf, RB, max_pairs=pairs)
+            tile_mc_conv(
+                pp, pts, mask, pts, mask, f, pdf, RB,
+                max_pairs=1 << 30, max_steps=steps,
+            )
             ** 2
         )
 

@@ -195,6 +195,52 @@ def _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius):
     return jnp.all(lo & hi, axis=-1)
 
 
+def _points_near_boxes(rows3, mn, mx, T, radius):
+    """(B, n_rows//T, ntb) bool — does ANY point of tile a sit within
+    ``radius`` of target AABB b? Strictly tighter than the AABB-AABB test
+    (boxes can overlap while every point hides in a far corner: measured on
+    the 32k bench scene it prunes 19 % of the AABB-surviving pairs, 80 % of
+    what an exact point-point test would — tools/exp_tile_adjacency.py) and
+    still CONSERVATIVE: a true pair (p, q), d(p,q) <= r implies
+    d(p, AABB_q's tile) <= r, so no contributing tile pair is ever dropped.
+
+    ``rows3`` are curve-sorted positions (invalid points at SENTINEL — their
+    box distance is huge, so they never vote); empty target boxes are
+    (+inf, -inf) and repel everything. Pure per-axis VPU f32 arithmetic (no
+    matmul — exactness per CLAUDE.md precision rules) with a 1e-5 relative
+    slack on the compare so the kernel's own ``_pair_d2`` mask can never
+    accept a pair this test pruned."""
+    B, n_rows, _ = rows3.shape
+    nta = n_rows // T
+    ntb = mn.shape[1]
+    d2 = jnp.zeros((B, n_rows, ntb), jnp.float32)
+    for d in range(3):
+        p = rows3[..., d][..., None]  # (B, n_rows, 1)
+        lo = jnp.maximum(mn[:, None, :, d] - p, 0.0)
+        hi = jnp.maximum(p - mx[:, None, :, d], 0.0)
+        d2 = d2 + (lo + hi) ** 2
+    near = d2 <= (radius * radius) * (1.0 + 1e-5)
+    return jnp.any(near.reshape(B, nta, T, ntb), axis=2)
+
+
+def _refined_adjacency(smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, T, radius):
+    """AABB-AABB adjacency intersected with the point-vs-box test in BOTH
+    directions (some sample point near source box AND some source point near
+    sample box). ``MCCNN_TILE_ADJ=aabb`` restores the round-3 box-only test
+    (A/B hook)."""
+    nts, ntp = mn_i.shape[1], mn_j.shape[1]
+    adj = _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius)
+    if os.environ.get("MCCNN_TILE_ADJ") == "aabb":
+        return adj
+    near_ij = _points_near_boxes(
+        smp_rows[:, : nts * T, :3], mn_j, mx_j, T, radius
+    )
+    near_ji = _points_near_boxes(
+        src_rows[:, : ntp * T, :3], mn_i, mx_i, T, radius
+    )
+    return adj & near_ij & jnp.swapaxes(near_ji, 1, 2)
+
+
 def _chunked_pair_lists(adj, S_steps, G, pad_major, sentinel_minor):
     """Chunked step list over ``adj`` (B, n_major, n_minor): each step is one
     major tile plus up to ``G`` of its true minors. Returns ``major``
@@ -269,26 +315,56 @@ def auto_tile_pairs(
     radius: float,
     *,
     tile: int = DEFAULT_TILE,
+    chunk: int = DEFAULT_CHUNK,
     headroom: float = 1.3,
     multiple: int = 256,
 ) -> int:
     """Static ``max_pairs`` capacity sized from a representative batch.
 
-    Runs ``count_tile_pairs`` on the batch against itself (a self-pair count
-    upper-bounds the cross-level counts of the same scene at the same radius,
-    since deeper levels have fewer tiles), takes the batch max, applies
-    ``headroom`` for scene-to-scene variation, and rounds up to ``multiple``
-    (keeps recompiles rare if callers re-size on a later batch). Call on
-    CONCRETE arrays outside jit; pair overflow is still counted downstream
-    (``tile_mc_conv(..., with_overflow=True)``) so an unluckily dense later
-    scene reports instead of silently dropping pairs."""
+    The kernels' true capacity is the static STEP budget ``S`` they derive
+    from ``max_pairs`` (``_steps_for_pairs``: worst case over any pair
+    distribution, i.e. ceil(pairs/G) plus one partial chunk per major row).
+    That worst case is ~1.8x the measured demand on real scenes (every row
+    would need a partial chunk), and padding steps cost full kernel compute —
+    so this sizes from the MEASURED chunked-step demand instead: it runs the
+    batch against itself (self demand upper-bounds the cross-level demands of
+    the same scene at the same radius, since deeper levels have fewer tiles),
+    takes the batch max over both list directions, applies ``headroom`` for
+    scene-to-scene variation, and inverts the S(max_pairs) formula so every
+    downstream site lands at S ~= headroom * measured demand. Rounded up to
+    ``multiple`` (keeps recompiles rare if callers re-size on a later batch).
+    Call on CONCRETE arrays outside jit; step overflow is still counted
+    downstream (``tile_mc_conv(..., with_overflow=True)``) so an unluckily
+    dense later scene reports (fatally, at the task boundary) instead of
+    silently dropping pairs."""
     import numpy as np
 
-    n = int(
-        np.asarray(count_tile_pairs(pts, mask, pts, mask, radius, tile)).max()
+    B, N, _ = pts.shape
+    nt = -(-N // tile)
+    need = int(
+        np.asarray(count_tile_steps(pts, mask, pts, mask, radius, tile, chunk)).max()
     )
-    n = int(n * headroom) + 1
+    target_s = int(need * headroom) + 1
+    n = max(chunk * (target_s - nt), chunk)
     return -(-n // multiple) * multiple
+
+
+def _count_adjacency(sample_pts, sample_mask, src_pts, src_mask, radius, tile):
+    """The (B, nts, ntp) surviving-tile-pair adjacency the kernels will see
+    for these inputs (same sort, same refinement)."""
+    B, M, _ = sample_pts.shape
+    N = src_pts.shape[1]
+    nts, ntp = -(-M // tile), -(-N // tile)
+    smp_rows, _, mn_i, mx_i = _sorted_tiles(
+        sample_pts, sample_mask, curve_order(sample_pts, sample_mask),
+        tile, nts * tile,
+    )
+    src_rows, _, mn_j, mx_j = _sorted_tiles(
+        src_pts, src_mask, curve_order(src_pts, src_mask), tile, ntp * tile
+    )
+    return _refined_adjacency(
+        smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, tile, radius
+    )
 
 
 def count_tile_pairs(
@@ -299,20 +375,37 @@ def count_tile_pairs(
     radius: float,
     tile: int = DEFAULT_TILE,
 ) -> Array:
-    """Per-cloud surviving tile-pair count — the exact lossless value for
-    ``tile_mc_conv(..., max_pairs=)``. Call on concrete data outside jit
-    (``max_pairs`` must be static)."""
-    B, M, _ = sample_pts.shape
-    N = src_pts.shape[1]
-    nts, ntp = -(-M // tile), -(-N // tile)
-    _, _, mn_i, mx_i = _sorted_tiles(
-        sample_pts, sample_mask, curve_order(sample_pts, sample_mask),
-        tile, nts * tile,
+    """Per-cloud surviving tile-pair count — a lossless (worst-case over pair
+    distributions) value for ``tile_mc_conv(..., max_pairs=)``. Call on
+    concrete data outside jit (``max_pairs`` must be static). For a TIGHT
+    lossless budget on a fixed scene, pass ``count_tile_steps`` as
+    ``max_steps=`` instead."""
+    adj = _count_adjacency(
+        sample_pts, sample_mask, src_pts, src_mask, radius, tile
     )
-    _, _, mn_j, mx_j = _sorted_tiles(
-        src_pts, src_mask, curve_order(src_pts, src_mask), tile, ntp * tile
+    return adj.sum((1, 2))
+
+
+def count_tile_steps(
+    sample_pts: Array,
+    sample_mask: Array,
+    src_pts: Array,
+    src_mask: Array,
+    radius: float,
+    tile: int = DEFAULT_TILE,
+    chunk: int = DEFAULT_CHUNK,
+) -> Array:
+    """Per-cloud chunked-step demand — the exact lossless value for
+    ``tile_mc_conv(..., max_steps=)`` on these inputs: the max over the
+    forward (by sample tile) and backward (by source tile) list directions of
+    ``sum_rows ceil(row_pairs / chunk)``. Call on concrete data outside jit."""
+    adj = _count_adjacency(
+        sample_pts, sample_mask, src_pts, src_mask, radius, tile
     )
-    return _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius).sum((1, 2))
+    return jnp.maximum(
+        _needed_steps(adj, chunk),
+        _needed_steps(jnp.swapaxes(adj, 1, 2), chunk),
+    )
 
 
 # ----------------------------------------------------------------------------
@@ -888,6 +981,7 @@ def tile_mc_conv(
     radius: float,
     *,
     max_pairs: int,
+    max_steps: int | None = None,
     tile: int = DEFAULT_TILE,
     chunk: int = DEFAULT_CHUNK,
     c_out: int | None = None,
@@ -904,6 +998,13 @@ def tile_mc_conv(
     ``chunk`` groups that many candidate tiles per grid step ((chunk*T, T)
     pair planes): fewer grid steps and taller MXU operands at the cost of
     <= one partial chunk of padding per output tile.
+
+    ``max_steps`` (optional) caps the static chunked-step budget DIRECTLY,
+    overriding the worst-case-over-distributions budget derived from
+    ``max_pairs`` when tighter. Padding steps cost full kernel compute, so on
+    a fixed scene ``count_tile_steps`` here is the exact lossless budget and
+    saves the ~1.8x worst-case inflation; steps beyond it are dropped (and
+    counted by ``with_overflow``) exactly like pair overflow.
 
     ``with_overflow=True`` additionally returns the per-cloud DROPPED STEP
     count (int32, (B,)): the number of chunked grid steps (each carrying up
@@ -954,7 +1055,9 @@ def tile_mc_conv(
         wf_sorted, ((0, 0), (0, (ntp + 1) * T - N), (0, 0))
     ).astype(FEAT_DTYPE)
 
-    adj = _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius)
+    adj = _refined_adjacency(
+        smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, T, radius
+    )
     G = chunk
     # one static step count for both kernels; padding steps are
     # (last real major tile, all-sentinel minors)
@@ -962,6 +1065,8 @@ def tile_mc_conv(
     S = max(
         _steps_for_pairs(cap, G, nts, ntp), _steps_for_pairs(cap, G, ntp, nts)
     )
+    if max_steps is not None:
+        S = min(S, max(int(max_steps), 1))
     # fwd list: sorted by sample tile
     i_ids, j_ids = _chunked_pair_lists(adj, S, G, nts - 1, ntp)
     # bwd list: sorted by source tile
@@ -1050,6 +1155,7 @@ def tile_kde(
     radius: float,
     *,
     max_pairs: int,
+    max_steps: int | None = None,
     tile: int = DEFAULT_TILE,
     chunk: int = DEFAULT_CHUNK,
     kde_window: float = 0.25,
@@ -1079,10 +1185,12 @@ def tile_kde(
 
     order = curve_order(points, mask)
     rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
-    adj = _tile_adjacency(mn, mx, mn, mx, radius)
+    adj = _refined_adjacency(rows, mn, mx, rows, mn, mx, T, radius)
     G = chunk
     cap = min(max_pairs, nt * nt)
     S = _steps_for_pairs(cap, G, nt, nt)
+    if max_steps is not None:
+        S = min(S, max(int(max_steps), 1))
     i_ids, j_ids = _chunked_pair_lists(adj, S, G, nt - 1, nt)
     meta = transposed_tiles(rows, T)  # (B, (nt+1)*8, T) incl. sentinel
 
@@ -1254,6 +1362,7 @@ def make_cover_sweep(
     radius: float,
     *,
     max_pairs: int,
+    max_steps: int | None = None,
     tile: int = DEFAULT_TILE,
     chunk: int = DEFAULT_COVER_CHUNK,
     order: Array | None = None,
@@ -1265,7 +1374,8 @@ def make_cover_sweep(
     big-scene sampler passes a CELL-Hilbert order so same-cell points form
     contiguous runs (core/sampling.py ``_poisson_tiles``). ``max_pairs`` is
     a tile-PAIR capacity; it is converted to chunked steps of ``chunk``
-    candidate tiles each (cf. ``tile_mc_conv``)."""
+    candidate tiles each, with ``max_steps`` optionally capping the step
+    budget directly (cf. ``tile_mc_conv``)."""
     B, N, _ = points.shape
     T = tile
     assert T % LANE == 0
@@ -1273,10 +1383,12 @@ def make_cover_sweep(
     if order is None:
         order = curve_order(points, mask)
     rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
-    adj = _tile_adjacency(mn, mx, mn, mx, radius)
+    adj = _refined_adjacency(rows, mn, mx, rows, mn, mx, T, radius)
     G = chunk
     cap = min(max_pairs, nt * nt)
     S = _steps_for_pairs(cap, G, nt, nt)
+    if max_steps is not None:
+        S = min(S, max(int(max_steps), 1))
     i_ids, j_ids = _chunked_pair_lists(adj, S, G, nt - 1, nt)
     smp_t = transposed_tiles(rows, T)  # (B, (nt+1)*8, T) incl. sentinel
     spec = _TSpec(

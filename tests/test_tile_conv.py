@@ -231,14 +231,71 @@ def test_tile_kde_overflow_reported(rng):
 
 
 def test_auto_tile_pairs_covers_batch(rng):
+    """The auto-sized capacity (now derived from MEASURED chunked-step
+    demand, not the worst-case pair-distribution bound) must still cover the
+    sizing batch's own demand: the conv it configures drops zero steps."""
     from mccnn_tpu.ops.pallas import auto_tile_pairs
 
-    src, _, _, smask, _, _ = setup(rng)
+    src, _, feats, smask, _, pdf = setup(rng)
     radius = 0.25
     cap = auto_tile_pairs(src, smask, radius, tile=TILE, headroom=1.0)
-    full = int(count_tile_pairs(src, smask, src, smask, radius, TILE).max())
-    assert cap >= full
     assert cap % 256 == 0
+    params = init_mcconv_params(jax.random.PRNGKey(5), feats.shape[-1], None)
+    _, ovf = tile_mc_conv(
+        params, src, smask, src, smask, feats, pdf, radius,
+        max_pairs=cap, tile=TILE, interpret=True, with_overflow=True,
+    )
+    assert int(jnp.max(ovf)) == 0
+
+
+def test_tile_conv_exact_max_steps_is_identical(rng):
+    """``max_steps=count_tile_steps`` is the tight lossless budget: outputs
+    and grads bitwise-match the generous worst-case budget (the ~1.8x step
+    inflation it removes was pure padding), and one step less genuinely
+    drops work (reported by the overflow counter)."""
+    from mccnn_tpu.ops.pallas import count_tile_steps
+
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(4), feats.shape[-1], None)
+    steps = int(
+        count_tile_steps(smp, qmask, src, smask, radius, TILE).max()
+    )
+
+    def run(**kw):
+        def loss(p, f):
+            o, ovf = tile_mc_conv(
+                p, smp, qmask, src, smask, f, pdf, radius,
+                tile=TILE, interpret=True, with_overflow=True, **kw,
+            )
+            return jnp.sum(o * o), (o, ovf)
+
+        (_, (out, ovf)), (gp, gf) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(params, feats)
+        return out, ovf, gp, gf
+
+    out_a, ovf_a, gp_a, gf_a = run(max_pairs=1 << 30, max_steps=steps)
+    out_b, ovf_b, gp_b, gf_b = run(
+        max_pairs=_max_pairs(smp, qmask, src, smask, radius)
+    )
+    assert int(jnp.max(ovf_a)) == 0 and int(jnp.max(ovf_b)) == 0
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_array_equal(np.asarray(gf_a), np.asarray(gf_b))
+    for a, b in zip(jax.tree.leaves(gp_a), jax.tree.leaves(gp_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_low, ovf_low, gp_low, gf_low = run(
+        max_pairs=1 << 30, max_steps=steps - 1
+    )
+    assert int(jnp.max(ovf_low)) > 0
+    # the binding direction may be the forward (by-sample) or backward
+    # (by-source) list — dropping its last step must change SOME result
+    changed = not np.allclose(np.asarray(out_a), np.asarray(out_low))
+    changed = changed or not np.allclose(np.asarray(gf_a), np.asarray(gf_low))
+    for a, b in zip(jax.tree.leaves(gp_a), jax.tree.leaves(gp_low)):
+        changed = changed or not np.allclose(np.asarray(a), np.asarray(b))
+    assert changed
 
 
 def test_hilbert_order_matches_skilling_reference(rng):
