@@ -44,6 +44,17 @@ class SpatialCache:
     # ``ops.pallas.count_tile_pairs`` on representative data (+headroom) —
     # pairs beyond the capacity are dropped.
     tile_pairs: int | None = None
+    # Optional PER-SITE chunked-step budgets for the tile kernels, measured
+    # host-side on a representative batch (``tasks.common.auto_tile_steps``).
+    # Keys: ``("conv", in_level, out_level, radius_key)`` and
+    # ``("kde", level, radius_key)`` with ``radius_key = round(radius, 6)``.
+    # The one ``tile_pairs`` knob is sized for the WORST level-0 site; other
+    # sites need ~1.5-2x fewer chunked steps (measured, round 4), and padding
+    # steps cost full kernel compute — a per-site ``max_steps`` removes that.
+    # Budgets are measured+headroom, NOT worst-case: overflow on a denser
+    # later scene is counted and fatal at the task boundary, exactly like
+    # pair overflow.
+    tile_steps: dict | None = None
     _nbh: dict = field(default_factory=dict)
     _pdf: dict = field(default_factory=dict)
     _buckets: dict = field(default_factory=dict)
@@ -55,6 +66,13 @@ class SpatialCache:
     def drain_tile_overflow(self) -> list:
         out, self._tile_overflow = self._tile_overflow, []
         return out
+
+    def site_steps(self, kind: str, *key) -> int | None:
+        """Measured per-site ``max_steps`` budget, or None (worst-case)."""
+        if not self.tile_steps:
+            return None
+        *head, radius = key
+        return self.tile_steps.get((kind, *head, round(float(radius), 6)))
 
     def neighborhood(
         self, in_level: int, out_level: int, radius: float, k: int | None = None
@@ -110,6 +128,7 @@ class SpatialCache:
                     float(radius),
                     kde_window=self.kde_window,
                     tile_pairs=pairs,
+                    max_steps=self.site_steps("kde", level, radius),
                     with_overflow=True,
                 )
                 self._tile_overflow.append(ovf)

@@ -113,6 +113,7 @@ def build_hierarchy(
     neighbor_k: int = 48,
     global_level: bool = False,
     tile_pairs: int | None = None,
+    tile_steps: dict | None = None,
 ) -> PointHierarchy:
     """Build the Poisson-disk hierarchy. ``points`` must be normalized to the
     unit cube (see ``core.grid.normalize_to_unit_cube``).
@@ -127,6 +128,10 @@ def build_hierarchy(
         the EXACT Morton-tile sweep (no self-neighborhood build, no gathers;
         core/sampling.py ``_poisson_tiles``). Sized for conv sites at level
         0 (a conv-radius capacity upper-bounds the smaller Poisson radius).
+      tile_steps: optional measured per-site step budgets (keys
+        ``("sweep", source_level, round(radius, 6))`` — see
+        ``tasks.common.auto_tile_steps``); sites absent keep the worst-case
+        budget derived from ``tile_pairs``.
     """
     if level_caps is None:
         level_caps = default_level_caps(points.shape[1], radii)
@@ -134,15 +139,19 @@ def build_hierarchy(
         HierarchyLevel(points=points, mask=mask, radius=0.0, sample=None, self_nbh=None)
     ]
     cur_pts, cur_mask = points, mask
-    for r, cap in zip(radii, level_caps):
+    for lvl, (r, cap) in enumerate(zip(radii, level_caps)):
         # The dense sampler path needs no neighbor lists; only build them for
         # large levels (they also get cached on the level for reuse) — and
         # not even there when the tile sampler takes the level.
         nbh = None
         if cur_pts.shape[1] > DENSE_SAMPLER_MAX_N and tile_pairs is None:
             nbh = self_neighbors(cur_pts, cur_mask, r, neighbor_k)
+        max_steps = None
+        if tile_steps:
+            max_steps = tile_steps.get(("sweep", lvl, round(float(r), 6)))
         ss = poisson_disk(
-            cur_pts, cur_mask, r, cap, neighborhood=nbh, tile_pairs=tile_pairs
+            cur_pts, cur_mask, r, cap, neighborhood=nbh,
+            tile_pairs=tile_pairs, max_steps=max_steps,
         )
         nxt_pts = jnp.where(
             ss.mask[..., None], gather_rows(cur_pts, ss.idx), 0.0

@@ -35,6 +35,7 @@ def kde_density(
     neighborhood: Neighborhood | None = None,
     k: int = 32,
     tile_pairs: int | None = None,
+    max_steps: int | None = None,
     with_overflow: bool = False,
 ) -> Array:
     """Gaussian-KDE sample density of each point within its own point set.
@@ -76,8 +77,8 @@ def kde_density(
         from ..ops.pallas.tile_conv import tile_kde
 
         return tile_kde(
-            points, mask, radius, max_pairs=tile_pairs, kde_window=kde_window,
-            with_overflow=with_overflow,
+            points, mask, radius, max_pairs=tile_pairs, max_steps=max_steps,
+            kde_window=kde_window, with_overflow=with_overflow,
         )
 
     if (

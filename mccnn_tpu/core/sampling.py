@@ -83,6 +83,7 @@ def poisson_disk(
     neighborhood: Neighborhood | None = None,
     k: int = 48,
     tile_pairs: int | None = None,
+    max_steps: int | None = None,
     interpret: bool = False,
 ) -> SampleSet:
     """Maximal Poisson-disk subset with min pairwise distance ``radius``.
@@ -132,7 +133,7 @@ def poisson_disk(
     elif tile_pairs is not None:
         selected, overflow = _poisson_tiles(
             points, mask, coords, cids, colors, radius, res, tile_pairs,
-            interpret,
+            interpret, max_steps=max_steps,
         )
     else:
         if neighborhood is None:
@@ -190,8 +191,49 @@ def _poisson_dense(points, mask, cids, colors, radius):
     return selected
 
 
+def _cell_hilbert_order(coords, mask, res):
+    """Stable point order by the Hilbert index of each point's SAMPLER CELL
+    (bijective on cells; ties broken by original index) — every cell becomes
+    one contiguous run in ascending original-index order."""
+    from ..ops.pallas.tile_conv import hilbert_code
+
+    bits = max(1, (res - 1).bit_length())
+    assert bits * 3 <= 30, f"sampler cell grid too fine: res={res}"
+    code = hilbert_code(
+        jnp.clip(coords, 0, (1 << bits) - 1).astype(jnp.int32), bits
+    )
+    code = jnp.where(mask, code, _BIG_I32)
+    return jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
+
+
+def count_poisson_sweep_steps(points, mask, radius):
+    """Per-cloud chunked-step demand of the big-scene tile sampler's cover
+    sweeps on these inputs — the exact lossless value for
+    ``poisson_disk(..., max_steps=)``. Mirrors ``_poisson_tiles``'s tile
+    layout exactly (cell-Hilbert order, cover chunk size). Call on concrete
+    data outside jit."""
+    from ..ops.pallas.tile_conv import (
+        DEFAULT_COVER_CHUNK,
+        DEFAULT_TILE,
+        _needed_steps,
+        _refined_adjacency,
+        _sorted_tiles,
+    )
+
+    cell_edge = float(radius) / _SQRT3
+    res = grid_res_for_radius(radius, cell_scale=1.0 / _SQRT3)
+    coords = cell_coords(points, cell_edge, res)
+    order = _cell_hilbert_order(coords, mask, res)
+    N, T = points.shape[1], DEFAULT_TILE
+    nt = -(-N // T)
+    rows, _, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
+    adj = _refined_adjacency(rows, mn, mx, rows, mn, mx, T, radius)
+    return _needed_steps(adj, DEFAULT_COVER_CHUNK)
+
+
 def _poisson_tiles(
-    points, mask, coords, cids, colors, radius, res, tile_pairs, interpret
+    points, mask, coords, cids, colors, radius, res, tile_pairs, interpret,
+    max_steps=None,
 ):
     """Cell-run tile 27-color sweep — the big-scene sampler (round-3 item:
     hierarchy construction on the conv's tile machinery, SURVEY §3.2).
@@ -211,20 +253,14 @@ def _poisson_tiles(
     gather: it is "first uncovered point of its run", a cumsum + cummax
     segmented-prefix query — all elementwise in the SORTED domain; one
     unsort at the end."""
-    from ..ops.pallas.tile_conv import hilbert_code, make_cover_sweep
+    from ..ops.pallas.tile_conv import make_cover_sweep
 
     B, N, _ = points.shape
     interpret = interpret or jax.default_backend() != "tpu"
-    bits = max(1, (res - 1).bit_length())
-    assert bits * 3 <= 30, f"sampler cell grid too fine: res={res}"
-    code = hilbert_code(
-        jnp.clip(coords, 0, (1 << bits) - 1).astype(jnp.int32), bits
-    )
-    code = jnp.where(mask, code, _BIG_I32)
-    order = jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
+    order = _cell_hilbert_order(coords, mask, res)
     sweep = make_cover_sweep(
         points, mask, radius, max_pairs=tile_pairs, order=order,
-        interpret=interpret,
+        max_steps=max_steps, interpret=interpret,
     )
     nt_rows = sweep.valid.shape[1]  # nt * T
 

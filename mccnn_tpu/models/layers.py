@@ -81,9 +81,13 @@ class MCConv(nn.Module):
                     "data"
                 )
             # The tuned capacity is sized for LEVEL-0 sites (the only place
-            # the full tile-pair bound is large). Deeper levels run LOSSLESS
-            # (max_pairs = their full bound, a few hundred chunked steps) so
-            # one global knob can never silently drop pairs there.
+            # the full tile-pair bound is large). Deeper levels default to
+            # LOSSLESS (max_pairs = their full bound) so one global knob can
+            # never silently drop pairs there. A measured per-site
+            # ``cache.tile_steps`` budget (tasks.common.auto_tile_steps)
+            # tightens any site below its worst case — overflow stays
+            # counted + fatal, so it trades padding compute for a LOUD
+            # failure on an unluckily denser scene, never a silent one.
             if in_level == 0 or out_level == 0:
                 max_pairs = cache.tile_pairs
             else:
@@ -91,6 +95,7 @@ class MCConv(nn.Module):
             out, overflow = tile_mc_conv(
                 params, dst.points, dst.mask, src.points, src.mask,
                 features, pdf, radius, max_pairs=max_pairs,
+                max_steps=cache.site_steps("conv", in_level, out_level, radius),
                 c_out=self.c_out, mean_normalize=mean_norm,
                 with_overflow=True,
             )

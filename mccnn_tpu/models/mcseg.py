@@ -36,6 +36,27 @@ class MCSeg(nn.Module):
     # Static tile-pair capacity: routes big-N conv/pdf sites to the z-order
     # tile kernels (whole-scene single-chip path; see ops/pallas/tile_conv.py)
     tile_pairs: int | None = None
+    # Optional per-site chunked-step budgets for those tile kernels (keys as
+    # in SpatialCache.tile_steps). Measured host-side at the task boundary
+    # (tasks.common.auto_tile_steps via ``tile_sites()``); sites absent from
+    # the dict keep the worst-case budget derived from ``tile_pairs``.
+    tile_steps: dict | None = None
+
+    def tile_sites(self, n_levels: int) -> list[tuple]:
+        """Every (conv/kde) tile-kernel site this network queries, as
+        SpatialCache.tile_steps keys — lets the task boundary measure a
+        tight per-site step budget on a concrete example batch."""
+        sites = [("conv", 0, 0, round(float(self.radii[0]), 6)),
+                 ("kde", 0, round(float(self.radii[0]), 6))]
+        for lvl in range(n_levels - 1):
+            r = round(float(self.radii[lvl]) * self.conv_radius_scale, 6)
+            sites += [("conv", lvl, lvl + 1, r),   # encoder
+                      ("conv", lvl + 1, lvl, r),   # decoder
+                      ("kde", lvl, r),             # encoder pdf (source lvl)
+                      ("kde", lvl + 1, r),         # decoder pdf
+                      # Poisson cover sweep sampling level lvl+1 FROM lvl
+                      ("sweep", lvl, round(float(self.radii[lvl]), 6))]
+        return sites
 
     def _bn(self, name: str, drop_rate: float = 0.0) -> BatchNormReluDropout:
         return BatchNormReluDropout(
@@ -74,6 +95,7 @@ class MCSeg(nn.Module):
             hier = build_hierarchy(
                 points, mask, self.radii, neighbor_k=self.neighbor_k,
                 global_level=False, tile_pairs=self.tile_pairs,
+                tile_steps=self.tile_steps,
             )
         for lvl in hier.levels:
             if lvl.sample is not None and lvl.sample.overflow is not None:
@@ -82,7 +104,8 @@ class MCSeg(nn.Module):
                     "diagnostics", "tile_overflow", jnp.max(lvl.sample.overflow)
                 )
         cache = SpatialCache(
-            hier, neighbor_k=self.neighbor_k, tile_pairs=self.tile_pairs
+            hier, neighbor_k=self.neighbor_k, tile_pairs=self.tile_pairs,
+            tile_steps=self.tile_steps,
         )
         g = self.grow
         n_levels = len(hier)

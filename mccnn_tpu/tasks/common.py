@@ -92,8 +92,9 @@ def maybe_auto_tile_pairs(model, example_batch: dict):
     users at big N either pass ``tile_pairs`` themselves or get the
     capacity-free bucket fallback. Overflow on later, denser batches is still
     counted and fatal (MCConv sows it; train_epoch raises)."""
-    if getattr(model, "tile_pairs", False) is not None:
-        return model  # knob absent, or caller already sized it
+    pairs_knob = getattr(model, "tile_pairs", False)
+    if pairs_knob is False:
+        return model  # knob absent (small-N model family)
     pts = np.asarray(example_batch["points"])
     from ..ops.pallas.dense_conv import DENSE_MAX_N
 
@@ -103,16 +104,71 @@ def maybe_auto_tile_pairs(model, example_batch: dict):
 
     from ..ops.pallas.tile_conv import auto_tile_pairs
 
-    # the largest level-0 site radius bounds every deeper/smaller site
-    radius = float(model.radii[0]) * float(
-        getattr(model, "conv_radius_scale", 2.0)
+    pts_j = jnp.asarray(pts)
+    mask_j = jnp.asarray(np.asarray(example_batch["mask"]))
+    if pairs_knob is None:
+        # the largest level-0 site radius bounds every deeper/smaller site
+        radius = float(model.radii[0]) * float(
+            getattr(model, "conv_radius_scale", 2.0)
+        )
+        cap = auto_tile_pairs(pts_j, mask_j, radius)
+        print(f"# auto tile_pairs = {cap} (N={pts.shape[1]}, r0={radius})")
+        model = model.clone(tile_pairs=cap)
+    if getattr(model, "tile_steps", False) is None and hasattr(
+        model, "tile_sites"
+    ):
+        budgets = auto_tile_steps(model, pts_j, mask_j)
+        print(f"# auto tile_steps = {budgets}")
+        model = model.clone(tile_steps=budgets)
+    return model
+
+
+def auto_tile_steps(model, pts, mask, headroom: float = 1.3) -> dict:
+    """Measured PER-SITE chunked-step budgets for a model's tile-kernel
+    sites (``model.tile_sites()`` keys -> ``max_steps``).
+
+    The one ``tile_pairs`` knob is sized for the WORST level-0 site; every
+    other site (the stem at the unscaled radius, cross-level encoder/decoder
+    convs with one small side, per-level KDEs) needs 1.5-2x fewer chunked
+    steps (measured at 32k, round 4) — and padding steps cost full kernel
+    compute. This builds the hierarchy once on the example batch host-side
+    and measures each site's exact demand (``count_tile_steps``), with the
+    same ``headroom`` contract as ``auto_tile_pairs``: a denser later scene
+    overflows LOUDLY (counted, sown, fatal at the task boundary), never
+    silently."""
+    import jax.numpy as jnp
+
+    from ..api.hierarchy import build_hierarchy
+    from ..ops.pallas.tile_conv import count_tile_steps
+
+    h = build_hierarchy(
+        pts, mask, tuple(float(r) for r in model.radii),
+        neighbor_k=model.neighbor_k, global_level=False,
+        tile_pairs=model.tile_pairs,
     )
-    cap = auto_tile_pairs(
-        jnp.asarray(pts), jnp.asarray(np.asarray(example_batch["mask"])),
-        radius,
-    )
-    print(f"# auto tile_pairs = {cap} (N={pts.shape[1]}, r0={radius})")
-    return model.clone(tile_pairs=cap)
+    budgets = {}
+    for site in model.tile_sites(len(h.levels)):
+        if site[0] == "conv":
+            _, in_lvl, out_lvl, r = site
+            dst, src = h.levels[out_lvl], h.levels[in_lvl]
+            counts = count_tile_steps(
+                dst.points, dst.mask, src.points, src.mask, float(r)
+            )
+        elif site[0] == "sweep":
+            from ..core.sampling import count_poisson_sweep_steps
+
+            _, lvl, r = site
+            src = h.levels[lvl]
+            counts = count_poisson_sweep_steps(src.points, src.mask, float(r))
+        else:  # kde: self-adjacency of the source level
+            _, lvl, r = site
+            src = h.levels[lvl]
+            counts = count_tile_steps(
+                src.points, src.mask, src.points, src.mask, float(r)
+            )
+        need = int(np.asarray(counts).max())
+        budgets[site] = -(-int(need * headroom + 1) // 16) * 16
+    return budgets
 
 
 class Runner:

@@ -59,6 +59,12 @@ def main():
     print(f"N={N} B={B} tile_pairs={S}", flush=True)
 
     model = MCSeg(n_classes=8, grow=grow, radii=(0.05, 0.15, 0.4), tile_pairs=S)
+    if "--site-steps" in sys.argv:
+        from mccnn_tpu.tasks.common import auto_tile_steps
+
+        budgets = auto_tile_steps(model, pts, mask)
+        print(f"site step budgets: {budgets}", flush=True)
+        model = model.clone(tile_steps=budgets)
 
     def loss_fn(logits, batch):
         return (
