@@ -175,6 +175,14 @@ def main() -> None:
     except Exception as e:
         print(f"# mcclass_s step bench failed: {e!r}", file=sys.stderr)
 
+    # Secondary metric (VERDICT r4 #6): the flagship beyond-reference
+    # capability — whole-scene MCSeg training at 32k on one chip — tracked in
+    # the driver snapshot, not only in docs/tools.
+    try:
+        print(json.dumps(_bench_whole_scene_step(jax, jnp)))
+    except Exception as e:
+        print(f"# whole-scene step bench failed: {e!r}", file=sys.stderr)
+
     mpoints = B * M / best / 1e6
     print(
         json.dumps(
@@ -194,6 +202,23 @@ def main() -> None:
     )
 
 
+def _surface_scene(rng, n):
+    """ScanNet-like noisy box-surface scene (the big-scene bench geometry)."""
+    face = rng.integers(0, 5, size=n)
+    u, v = rng.uniform(0, 1, (2, n))
+    p = np.zeros((n, 3), np.float32)
+    for f_, arr in [
+        (0, np.stack([u, v, np.zeros_like(u)], -1)),
+        (1, np.stack([np.zeros_like(u), u, v], -1)),
+        (2, np.stack([np.ones_like(u), u, v], -1)),
+        (3, np.stack([u, np.zeros_like(u), v], -1)),
+        (4, np.stack([u, np.ones_like(u), v], -1)),
+    ]:
+        p[face == f_] = arr[face == f_]
+    p += rng.normal(0, 0.01, size=p.shape)
+    return np.clip(p, 0.0, 0.999).astype(np.float32)
+
+
 def _bench_big_scene(jax, jnp):
     """32k-point surface scene, depthwise tile conv, full fwd+bwd, C=128,
     r=0.05 — chain-difference like the north-star but with short chains
@@ -206,19 +231,7 @@ def _bench_big_scene(jax, jnp):
 
     NB, RB, CB = 32768, 0.05, 128
     rng = np.random.default_rng(1)
-    face = rng.integers(0, 5, size=NB)
-    u, v = rng.uniform(0, 1, (2, NB))
-    p = np.zeros((NB, 3), np.float32)
-    for f_, arr in [
-        (0, np.stack([u, v, np.zeros_like(u)], -1)),
-        (1, np.stack([np.zeros_like(u), u, v], -1)),
-        (2, np.stack([np.ones_like(u), u, v], -1)),
-        (3, np.stack([u, np.zeros_like(u), v], -1)),
-        (4, np.stack([u, np.ones_like(u), v], -1)),
-    ]:
-        p[face == f_] = arr[face == f_]
-    p += rng.normal(0, 0.01, size=p.shape)
-    pts = jnp.asarray(np.clip(p, 0.0, 0.999).astype(np.float32))[None]
+    pts = jnp.asarray(_surface_scene(rng, NB))[None]
     mask = jnp.ones((1, NB), bool)
     feats = jnp.asarray(rng.normal(size=(1, NB, CB)).astype(np.float32))
     pdf = jnp.ones((1, NB), jnp.float32)
@@ -258,12 +271,159 @@ def _bench_big_scene(jax, jnp):
         return best
 
     per_layer = (best_of(24) - best_of(8)) / 16.0
+
+    # Production-headroom companion line (VERDICT r4 #8): every task site gets
+    # the auto_tile_steps budget (measured demand * 1.3 headroom, rounded up
+    # to 16) rather than the exact lossless budget above — and padding steps
+    # cost full compute, so the number tasks actually see is this one.
+    steps_prod = -(-int(steps * 1.3 + 1) // 16) * 16
+
+    def loss_prod(pp, f):
+        return jnp.sum(
+            tile_mc_conv(
+                pp, pts, mask, pts, mask, f, pdf, RB,
+                max_pairs=1 << 30, max_steps=steps_prod,
+            )
+            ** 2
+        )
+
+    grad_prod = jax.grad(loss_prod, argnums=(0, 1))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain_prod(f, n):
+        def body(carry, _):
+            gp, g = grad_prod(params, carry)
+            g = g + 1e-12 * jnp.sum(gp.w1) + 1e-12 * jnp.sum(gp.w2)
+            return carry + 1e-6 * g, 0
+
+        out, _ = jax.lax.scan(body, f, None, length=n)
+        return out.sum()
+
+    def best_of_prod(n, reps=3):
+        float(chain_prod(feats, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain_prod(feats, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    prod_extra = {}
+    try:
+        per_layer_prod = (best_of_prod(24) - best_of_prod(8)) / 16.0
+        prod_extra = {
+            "metric": "mcconv_tile_32k_prod_fwdbwd_throughput",
+            "value": round(NB / per_layer_prod / 1e6, 2),
+            "unit": "Mpoints/s/chip",
+            "note": f"same scene with the production auto_tile_steps budget "
+            f"(max_steps={steps_prod} vs exact {steps}): "
+            f"{per_layer_prod * 1e3:.1f} ms/layer full fwd+bwd",
+        }
+    except Exception as e:
+        print(f"# 32k prod-headroom bench failed: {e!r}", file=sys.stderr)
+    if prod_extra:
+        print(json.dumps(prod_extra))
     return {
         "metric": "mcconv_tile_32k_fwdbwd_throughput",
         "value": round(NB / per_layer / 1e6, 2),
         "unit": "Mpoints/s/chip",
         "note": f"B=1 N=32k C=128 r=0.05 surface scene, z-order tile kernel, "
-        f"{per_layer * 1e3:.1f} ms/layer full fwd+bwd, chain-diff 8->24",
+        f"{per_layer * 1e3:.1f} ms/layer full fwd+bwd, chain-diff 8->24, "
+        f"exact step budget max_steps={steps}",
+    }
+
+
+def _bench_whole_scene_step(jax, jnp, NB=32768, grow=16,
+                            radii=(0.05, 0.15, 0.4)):
+    """Whole-scene MCSeg train step at 32k points on one chip (VERDICT r4
+    #6): B=1, radii (0.05, 0.15, 0.4), grow 16, auto tile pairs + per-site
+    step budgets — the tools/exp_whole_scene.py config, chain-differenced.
+    Also reports the hierarchy-build share (a separate hierarchy-only chain),
+    so sampler/KDE regressions show in the driver snapshot. The non-default
+    parameters exist for the CPU smoke test only."""
+    import functools
+    import time
+
+    from mccnn_tpu.api.hierarchy import build_hierarchy
+    from mccnn_tpu.models import MCSeg
+    from mccnn_tpu.ops.pallas import count_tile_pairs
+    from mccnn_tpu.tasks.common import auto_tile_steps
+    from mccnn_tpu.train import init_state, make_optimizer, make_train_step
+    from mccnn_tpu.train.losses import masked_accuracy, segmentation_loss
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(_surface_scene(rng, NB))[None]
+    mask = jnp.ones((1, NB), bool)
+    labels = jnp.asarray(rng.integers(0, 8, size=(1, NB)), jnp.int32)
+    batch = {"points": pts, "mask": mask, "labels": labels}
+
+    cap = int(count_tile_pairs(pts, mask, pts, mask, radii[0] * 2.0).max())
+    model = MCSeg(n_classes=8, grow=grow, radii=radii, tile_pairs=cap)
+    model = model.clone(tile_steps=auto_tile_steps(model, pts, mask))
+
+    def loss_fn(logits, b):
+        return (
+            segmentation_loss(logits, b["labels"], b["mask"]),
+            {"acc": masked_accuracy(logits, b["labels"], b["mask"])},
+        )
+
+    tx = make_optimizer(lr=1e-3)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx, loss_fn)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(s, n):
+        def body(c, _):
+            new_s, _ = step(c, batch)
+            return new_s, 0
+
+        out, _ = jax.lax.scan(body, s, None, length=n)
+        return jax.tree.map(lambda x: x.sum(), out)
+
+    def best_of(fn, arg, n, reps=3):
+        jax.block_until_ready(fn(arg, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(arg, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (best_of(chain, state, 10) - best_of(chain, state, 2)) / 8.0
+
+    # hierarchy-only chain: Poisson sampling + KDE + level build, the
+    # sampler-side share of the step
+    @functools.partial(jax.jit, static_argnums=1)
+    def hier_chain(p, n):
+        def body(c, _):
+            h = build_hierarchy(
+                c, mask, radii, neighbor_k=model.neighbor_k,
+                global_level=False, tile_pairs=cap,
+                tile_steps=model.tile_steps,
+            )
+            dep = sum(jnp.sum(lv.points) * 1e-20 for lv in h.levels[1:])
+            return c + dep, 0
+
+        out, _ = jax.lax.scan(body, p, None, length=n)
+        return out.sum()
+
+    hier_share = None
+    try:
+        per_hier = (best_of(hier_chain, pts, 10) - best_of(hier_chain, pts, 2)) / 8.0
+        hier_share = per_hier / per_step
+    except Exception as e:
+        print(f"# whole-scene hierarchy chain failed: {e!r}", file=sys.stderr)
+
+    note = (
+        f"B=1 N={NB} grow={grow} radii={radii} full MCSeg train step "
+        f"{per_step * 1e3:.1f} ms (chain-diff 2->10)"
+    )
+    if hier_share is not None:
+        note += f", hierarchy {per_hier * 1e3:.1f} ms = {hier_share:.0%}"
+    return {
+        "metric": "mcseg_whole_scene_32k_train_step_ms",
+        "value": round(per_step * 1e3, 1),
+        "unit": "ms/step",
+        "note": note,
     }
 
 
