@@ -160,7 +160,20 @@ class _Mirror:
         self.n_shards = n_shards
         self.stat_axes = tuple(stat_axes)
         self.train = train
+        # Dropout RNG contract: the caller provides one base key per logical
+        # step/scene; the mirror folds in (a) this shard's axis index — masks
+        # are independent across slabs even if the caller replicates the key
+        # (dp_spatial additionally folds its scene index) — and (b) a
+        # per-site counter, mirroring flax's fresh ``make_rng`` fold at each
+        # Dropout instance. Streams intentionally differ bitwise from flax's
+        # (cross-path exactness is tested with drop_rate=0; the distribution
+        # is tested statistically in tests/test_sharded_mcseg.py).
+        if dropout_rng is not None:
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(axis_name)
+            )
         self.dropout_rng = dropout_rng
+        self._drop_site = 0
         self.backend = backend
         self.overflow = jnp.zeros((), jnp.int32)
         self.lo, self.hi = slab_bounds(n_shards, axis_name)
@@ -251,8 +264,11 @@ class _Mirror:
         y = y * p["scale"] + p["bias"]
         y = jax.nn.relu(y)
         if drop_rate > 0.0 and self.train and self.dropout_rng is not None:
+            # fresh stream per dropout site (see __init__'s RNG contract)
+            rng = jax.random.fold_in(self.dropout_rng, self._drop_site)
+            self._drop_site += 1
             keep = 1.0 - drop_rate
-            dmask = jax.random.bernoulli(self.dropout_rng, keep, y.shape)
+            dmask = jax.random.bernoulli(rng, keep, y.shape)
             y = jnp.where(dmask, y / keep, 0.0)
         return jnp.where(mask[:, None], y, 0.0)
 

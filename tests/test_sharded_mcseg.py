@@ -56,8 +56,8 @@ def _init_variables(cfg, seed=0):
     )
 
 
-def _run_sharded(variables, cfg, pts, mask, halo_cap=512, train=True):
-    cap = 512
+def _run_sharded(variables, cfg, pts, mask, halo_cap=512, train=True,
+                 cap=512, dropout_rng=None, radii=RADII):
     sp, sm, sidx = shard_points_by_slab(pts, mask, N_SHARDS, cap)
     sf = np.ones((N_SHARDS, cap, 1), np.float32)
 
@@ -65,6 +65,7 @@ def _run_sharded(variables, cfg, pts, mask, halo_cap=512, train=True):
         logits, masks, ovf, new_stats = sharded_mcseg_apply_flax(
             variables, cfg, p_[0], m_[0], f_[0], halo_cap=halo_cap,
             axis_name="x", n_shards=N_SHARDS, train=train,
+            dropout_rng=dropout_rng,
         )
         return (
             logits[None], [mk[None] for mk in masks], ovf[None], new_stats
@@ -74,7 +75,7 @@ def _run_sharded(variables, cfg, pts, mask, halo_cap=512, train=True):
     with mesh8():
         logits, masks, ovf, new_stats = shard_map(
             fn, mesh=mesh8(), in_specs=(P("x"), P("x"), P("x")),
-            out_specs=(P("x"), [P("x")] * (len(RADII) + 1), P("x"), s_spec),
+            out_specs=(P("x"), [P("x")] * (len(radii) + 1), P("x"), s_spec),
             check_vma=False,
         )(jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf))
     assert int(np.asarray(ovf).sum()) == 0
@@ -128,6 +129,97 @@ def test_sharded_flax_mcseg_matches_mcseg_apply(rng):
         train=False, hierarchy=hier,
     )
     np.testing.assert_allclose(gl_e, np.asarray(ref_e[0]), rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_flax_matches_mcseg_apply_second_geometry(rng):
+    """Body-drift guard at a SECOND geometry (VERDICT r4 #7): three radii
+    (mixing halo- and gather-path conv sites), non-power-of-two scene size,
+    odd shard/halo caps. The hand-written mirror must still equal
+    ``MCSeg.apply`` exactly."""
+    radii3 = (0.05, 0.09, 0.2)  # conv radii 0.1 (halo), 0.18/0.4 (gather)
+    cfg = SpatialMCSegConfig(
+        n_classes=3, grow=8, radii=radii3, neighbor_k=24, drop_rate=0.0
+    )
+    model, variables = _init_variables(cfg, seed=11)
+    pts, mask = _scene(rng, 1800)
+    gl, gmasks, new_stats = _run_sharded(
+        variables, cfg, pts, mask, cap=728, halo_cap=344, train=True,
+        radii=radii3,
+    )
+    assert gmasks[0].all() and 0 < gmasks[3].sum() < gmasks[1].sum()
+    hier = hierarchy_from_masks(
+        jnp.asarray(pts)[None], [jnp.asarray(m)[None] for m in gmasks], radii3
+    )
+    ref, mut = model.apply(
+        variables, jnp.asarray(pts)[None], jnp.asarray(mask)[None],
+        train=True, hierarchy=hier, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(gl, np.asarray(ref[0]), rtol=2e-3, atol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        new_stats, dict(mut["batch_stats"]),
+    )
+
+
+def test_sharded_dropout_statistics():
+    """The mirror's dropout (VERDICT r4 #6-weak): drop fraction ~= rate,
+    survivors scaled by 1/keep, masks independent across shards AND across
+    dropout sites. Observed by comparing against a dropout-free run of the
+    same BN site: zeros where the clean output was positive are drops."""
+    from mccnn_tpu.parallel.sharded_mcseg import _Mirror
+
+    C, NP, rate = 64, 1024, 0.4
+    cfg = SpatialMCSegConfig(n_classes=2, grow=8, drop_rate=rate)
+    variables = {
+        "params": {"bn": {"MaskedBatchNorm_0": {
+            "scale": jnp.ones((C,)), "bias": jnp.zeros((C,))}}},
+        "batch_stats": {"bn": {"MaskedBatchNorm_0": {
+            "mean": jnp.zeros((C,)), "var": jnp.ones((C,))}}},
+    }
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(N_SHARDS, NP, C)), jnp.float32
+    )
+    mask = jnp.ones((N_SHARDS, NP), bool)
+    base_rng = jax.random.PRNGKey(9)
+
+    def fn(x_, m_):
+        def mirror(drop_rng):
+            return _Mirror(
+                variables, cfg, points=jnp.zeros((NP, 3)), halo_cap=8,
+                axis_name="x", n_shards=N_SHARDS, stat_axes=("x",),
+                train=True, dropout_rng=drop_rng, backend="jnp",
+            )
+
+        clean = mirror(None).bn_relu_drop("bn", x_[0], m_[0], rate)
+        mir = mirror(base_rng)
+        y1 = mir.bn_relu_drop("bn", x_[0], m_[0], rate)  # site 0
+        y2 = mir.bn_relu_drop("bn", x_[0], m_[0], rate)  # site 1
+        return clean[None], y1[None], y2[None]
+
+    with mesh8():
+        clean, y1, y2 = shard_map(
+            fn, mesh=mesh8(), in_specs=(P("x"), P("x")),
+            out_specs=(P("x"), P("x"), P("x")), check_vma=False,
+        )(x, mask)
+    clean, y1, y2 = map(np.asarray, (clean, y1, y2))
+    pos = clean > 0  # relu survivors — the only observable dropout support
+    assert pos.mean() > 0.3
+    keep = 1.0 - rate
+    for y in (y1, y2):
+        dropped = pos & (y == 0.0)
+        kept = pos & (y != 0.0)
+        # fraction ~= rate (binomial, ~260k positive elements per run)
+        np.testing.assert_allclose(dropped.sum() / pos.sum(), rate, atol=0.01)
+        # survivors scaled by exactly 1/keep
+        np.testing.assert_allclose(y[kept], clean[kept] / keep, rtol=1e-6)
+    m1, m2 = pos & (y1 == 0.0), pos & (y2 == 0.0)
+    # per-site streams differ
+    assert (m1 != m2).mean() > 0.2
+    # cross-shard independence: no two shards share a drop pattern
+    for s in range(1, N_SHARDS):
+        assert (m1[0, : NP // 2] != m1[s, : NP // 2]).mean() > 0.2
 
 
 def test_bn_schedule_counts_update(rng):
