@@ -185,6 +185,7 @@ class Runner:
         self.args = args
         model = maybe_auto_tile_pairs(model, example_batch)
         self.model = model
+        self._loss_fn = loss_fn
         # Largest device count that divides the batch (DP shards the batch).
         n_dev = len(jax.devices())
         while args.batch % n_dev:
@@ -201,22 +202,7 @@ class Runner:
             model, self.tx, jax.random.PRNGKey(args.seed), example_batch
         )
         self.state = replicate(state, self.mesh)
-        repl = NamedSharding(self.mesh, P())
-        step = make_train_step(
-            model, self.tx, loss_fn, remat=getattr(args, "remat", False)
-        )
-        self._train_step = jax.jit(step, out_shardings=(repl, repl))
-
-        from ..train.state import _model_args
-
-        def eval_apply(state: TrainState, batch: dict):
-            return model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                *_model_args(batch),
-                train=False,
-            )
-
-        self._eval_apply = jax.jit(eval_apply)
+        self._build_steps()
 
         name = args.run_name or run_name
         self.metrics = MetricsLogger(args.log_dir, name)
@@ -231,6 +217,65 @@ class Runner:
         # current state before exiting, so --resume continues seamlessly.
         self._epoch = self.start_epoch
         self._install_signal_handlers()
+
+    def _build_steps(self) -> None:
+        """(Re)jit the train/eval steps for the current ``self.model`` —
+        called at init and again whenever a capacity resize clones the model
+        with bigger static tile budgets."""
+        model = self.model
+        repl = NamedSharding(self.mesh, P())
+        step = make_train_step(
+            model, self.tx, self._loss_fn,
+            remat=getattr(self.args, "remat", False),
+        )
+        self._train_step = jax.jit(step, out_shardings=(repl, repl))
+
+        from ..train.state import _model_args
+
+        def eval_apply(state: TrainState, batch: dict):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                *_model_args(batch),
+                train=False,
+            )
+
+        self._eval_apply = jax.jit(eval_apply)
+
+    def _resize_tile_capacity(self, batch: dict) -> dict:
+        """Grow the model's static tile budgets to cover ``batch`` (the
+        offending denser-than-example scene group) and re-jit.
+
+        Budgets only ever GROW (elementwise max with the current ones), so a
+        resize can never re-introduce overflow on earlier scenes. Returns a
+        description of the change for the metrics log."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas.tile_conv import auto_tile_pairs
+
+        pts = jnp.asarray(np.asarray(batch["points"]))
+        mask = jnp.asarray(np.asarray(batch["mask"]))
+        model = self.model
+        r0 = float(model.radii[0]) * float(
+            getattr(model, "conv_radius_scale", 2.0)
+        )
+        old_pairs = getattr(model, "tile_pairs", None) or 0
+        new_pairs = max(old_pairs, auto_tile_pairs(pts, mask, r0))
+        model = model.clone(tile_pairs=new_pairs)
+        event = {"tile_pairs": new_pairs, "tile_pairs_old": old_pairs}
+        if getattr(model, "tile_steps", None) is not None and hasattr(
+            model, "tile_sites"
+        ):
+            old = dict(model.tile_steps)
+            fresh = auto_tile_steps(model.clone(tile_steps=None), pts, mask)
+            merged = {
+                k: max(old.get(k, 0), fresh.get(k, 0))
+                for k in set(old) | set(fresh)
+            }
+            model = model.clone(tile_steps=merged)
+            event["tile_steps"] = {str(k): v for k, v in merged.items()}
+        self.model = model
+        self._build_steps()
+        return event
 
     def _install_signal_handlers(self) -> None:
         def handler(signum, frame):
@@ -283,8 +328,37 @@ class Runner:
             jax.profiler.start_trace(self.args.profile_dir)
         losses, t0, n = [], time.time(), 0
         extra_sums: dict = {}
+        resizes = 0
         for batch in batches:
-            self.state, m = self._train_step(self.state, self.shard(batch))
+            sharded = self.shard(batch)
+            new_state, m = self._train_step(self.state, sharded)
+            # Capacity overflow is recoverable (VERDICT r4 #2): a denser-
+            # than-example batch must never train on truncated neighborhoods
+            # NOR kill the run at epoch end. ``self.state`` is untouched by
+            # the step (no donation), so on overflow the corrupted update is
+            # simply discarded, the static budgets grow to cover THIS batch
+            # (auto re-size + re-jit), and the step re-runs. The per-step
+            # device sync this costs only exists for tile-kernel models
+            # (the diagnostic is absent otherwise).
+            if "tile_overflow" in m:
+                attempts = 0
+                while (ovf := float(m["tile_overflow"])) > 0:
+                    if attempts >= 3:
+                        raise RuntimeError(
+                            "tile capacity overflow persists after "
+                            f"{attempts} re-sizes ({ovf:.0f} dropped steps)"
+                            " — auto_tile_pairs cannot cover this batch; "
+                            "raise tile_pairs manually."
+                        )
+                    attempts += 1
+                    event = self._resize_tile_capacity(batch)
+                    resizes += 1
+                    self.metrics.log(
+                        int(jax.device_get(self.state.step)), tag="resize",
+                        tile_overflow=ovf, attempt=attempts, **event,
+                    )
+                    new_state, m = self._train_step(self.state, sharded)
+            self.state = new_state
             losses.append(m["loss"])
             for k, v in m.items():
                 if k != "loss":
@@ -300,21 +374,10 @@ class Runner:
             "steps": n,
             "sec": round(time.time() - t0, 2),
         }
+        if resizes:
+            out["capacity_resizes"] = resizes
         for k, vs in extra_sums.items():
             out[k] = float(np.mean([float(v) for v in vs]))
-        if "tile_overflow" in extra_sums:
-            ovf = max(float(v) for v in extra_sums["tile_overflow"])
-            out["tile_overflow"] = ovf
-            if ovf > 0:
-                self.metrics.log(
-                    int(self.state.step), tag="error", tile_overflow=ovf
-                )
-                raise RuntimeError(
-                    f"tile-pair capacity overflow ({ovf:.0f} dropped steps "
-                    "in some train batch this epoch): results are missing "
-                    "neighbor contributions. Raise tile_pairs (or let the "
-                    "task auto-size it with ops.pallas.auto_tile_pairs)."
-                )
         self.metrics.log(int(self.state.step), tag="train", epoch=epoch, **out)
         return out
 

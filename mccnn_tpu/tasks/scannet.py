@@ -354,10 +354,13 @@ def train_spatial(args) -> dict:
     # masks passed to step_reuse are the cached per-shard level-mask tuples
     # from a previous step on the SAME scene group; valid only while the
     # geometry is static, so --augment bypasses the cache entirely
-    step_build, step_reuse = make_dp_spatial_step(
-        mesh, tx, cfg, halo_cap=halo_cap, backend=backend,
-        remat=getattr(args, "remat", False),
-    )
+    def build_steps(hc):
+        return make_dp_spatial_step(
+            mesh, tx, cfg, halo_cap=hc, backend=backend,
+            remat=getattr(args, "remat", False),
+        )
+
+    step_build, step_reuse = build_steps(halo_cap)
     mask_cache: dict[int, tuple] = {}
 
     metrics = MetricsLogger(args.log_dir, run_name)
@@ -392,6 +395,11 @@ def train_spatial(args) -> dict:
                     jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf),
                     jnp.asarray(sl),
                 )
+                # keep the pre-step state: on halo overflow the corrupted
+                # update is discarded and the step re-runs with a bigger cap
+                # (VERDICT r4 #2 — recoverable, never train on truncated
+                # source sets, never crash after training on them)
+                prev_state = state
                 if i in mask_cache and not args.augment:
                     state, loss, acc, ovf, _ = step_reuse(
                         state, *batch, *mask_cache[i]
@@ -400,11 +408,26 @@ def train_spatial(args) -> dict:
                     state, loss, acc, ovf, lms = step_build(state, *batch)
                     if not args.augment:
                         mask_cache[i] = lms
-                it += 1
-                if int(ovf):
-                    raise RuntimeError(
-                        f"halo overflow {int(ovf)}: raise --halo-cap"
+                attempts = 0
+                while int(ovf):
+                    if attempts >= 3 or halo_cap >= cap:
+                        raise RuntimeError(
+                            f"halo overflow {int(ovf)} persists at "
+                            f"halo_cap={halo_cap}: raise --halo-cap"
+                        )
+                    attempts += 1
+                    halo_cap = min(
+                        cap, -(-int((halo_cap + int(ovf)) * 1.3) // 8) * 8
                     )
+                    metrics.log(
+                        it, tag="resize", halo_overflow=int(ovf),
+                        halo_cap=halo_cap, attempt=attempts,
+                    )
+                    step_build, step_reuse = build_steps(halo_cap)
+                    state, loss, acc, ovf, lms = step_build(prev_state, *batch)
+                    if not args.augment:
+                        mask_cache[i] = lms
+                it += 1
                 if args.steps_per_epoch and it >= args.steps_per_epoch * (epoch + 1):
                     break
             last = {
@@ -430,9 +453,28 @@ def train_spatial(args) -> dict:
         union = np.zeros(n_classes, np.int64)
         correct = total = 0
         for sp, sm, sf, sl in eval_groups:
-            logits, _ = eval_fn(
+            logits, e_ovf = eval_fn(
                 state, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf)
             )
+            attempts = 0
+            while int(e_ovf):  # denser eval scene: grow the cap and re-run
+                if attempts >= 3 or halo_cap >= cap:
+                    raise RuntimeError(
+                        f"halo overflow {int(e_ovf)} in eval at "
+                        f"halo_cap={halo_cap}: raise --halo-cap"
+                    )
+                attempts += 1
+                halo_cap = min(
+                    cap, -(-int((halo_cap + int(e_ovf)) * 1.3) // 8) * 8
+                )
+                metrics.log(it, tag="resize", halo_overflow=int(e_ovf),
+                            halo_cap=halo_cap, attempt=attempts)
+                eval_fn = make_dp_spatial_eval(
+                    mesh, cfg, halo_cap=halo_cap, backend=backend
+                )
+                logits, e_ovf = eval_fn(
+                    state, jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(sf)
+                )
             pred = np.asarray(logits).argmax(-1)
             m = np.asarray(sm)
             correct += int(((pred == sl) & m).sum())

@@ -1,0 +1,147 @@
+"""Recoverable tile-capacity overflow (VERDICT r4 #2).
+
+A denser-than-example batch used to train the rest of the epoch on silently
+truncated neighborhoods and then kill the run at epoch end. Now the Runner
+detects ``tile_overflow`` per step, DISCARDS the corrupted update, grows the
+static budgets from the offending batch (auto re-size + re-jit) and re-runs
+that step. The key assertion: a run that starts undersized and resizes
+mid-stream finishes with BITWISE-identical parameters to a run that was
+generously sized from the start (padding steps contribute exact zeros).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mccnn_tpu.core.mcconv import MCConvParams
+from mccnn_tpu.ops.pallas.tile_conv import count_tile_steps, tile_mc_conv
+from mccnn_tpu.tasks.common import Runner, auto_tile_steps, base_parser
+from mccnn_tpu.train.losses import classification_loss
+
+RADIUS = 0.25
+N = 1280  # 10 z-order tiles of 128
+
+
+class TinyTile(nn.Module):
+    """Minimal model with the tile-kernel knob contract the Runner resizes:
+    ``tile_pairs``/``tile_steps`` clone-able fields, ``radii`` +
+    ``conv_radius_scale``, ``tile_sites()``, and a sown ``tile_overflow``
+    diagnostic — the same surface ``models/mcseg.py`` exposes."""
+
+    n_classes: int = 4
+    c: int = 8
+    hidden: int = 4
+    radii: tuple = (RADIUS,)
+    conv_radius_scale: float = 1.0
+    neighbor_k: int = 8
+    tile_pairs: int | None = 1 << 30
+    tile_steps: dict | None = None
+
+    def tile_sites(self, n_levels: int) -> list[tuple]:
+        return [("conv", 0, 0, self.radii[0])]
+
+    @nn.compact
+    def __call__(self, points, mask, features=None, train=False):
+        B, n, _ = points.shape
+        feats = (
+            jnp.ones((B, n, self.c), jnp.float32)
+            if features is None
+            else features
+        )
+        params = MCConvParams(
+            w1=self.param("w1", nn.initializers.he_normal(), (3, self.hidden)),
+            b1=self.param("b1", nn.initializers.zeros, (self.hidden,)),
+            w2=self.param(
+                "w2", nn.initializers.he_normal(), (self.hidden, self.c)
+            ),
+            b2=self.param("b2", nn.initializers.zeros, (self.c,)),
+        )
+        pdf = jnp.ones((B, n), jnp.float32)
+        steps = None
+        if self.tile_steps is not None:
+            steps = self.tile_steps[("conv", 0, 0, self.radii[0])]
+        out, ovf = tile_mc_conv(
+            params, points, mask, points, mask, feats, pdf, self.radii[0],
+            max_pairs=self.tile_pairs, max_steps=steps, with_overflow=True,
+            interpret=True,
+        )
+        self.sow("diagnostics", "tile_overflow", jnp.max(ovf))
+        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1)
+        pooled = jnp.sum(jnp.where(mask[..., None], out, 0.0), axis=1) / denom
+        return nn.Dense(self.n_classes)(pooled)
+
+
+def _args(tmp_path):
+    args = base_parser("t").parse_args([])
+    args.batch = 2
+    args.log_dir = str(tmp_path / "logs")
+    args.ckpt_dir = str(tmp_path / "ckpts")
+    args.steps_per_epoch = None
+    return args
+
+
+def _batches():
+    """batch0: 1-D line of well-separated tile groups (near-diagonal tile
+    adjacency, low step demand). batch1: same shapes, dense uniform cube
+    (full adjacency, ~2x the demand) — the 'unluckily denser later scene'."""
+    rng = np.random.default_rng(0)
+    line = np.zeros((2, N, 3), np.float32)
+    g = N // 10
+    for t in range(10):
+        base = np.array([t * 3.0 * RADIUS, 0.0, 0.0], np.float32)
+        line[:, t * g : (t + 1) * g] = base + rng.uniform(
+            0, 0.05, size=(2, g, 3)
+        ).astype(np.float32)
+    line /= line.max()  # unit cube
+    dense = rng.uniform(0, 1, size=(2, N, 3)).astype(np.float32)
+    mask = np.ones((2, N), bool)
+    labels = rng.integers(0, 4, size=2).astype(np.int32)
+    b0 = {"points": jnp.asarray(line), "mask": jnp.asarray(mask),
+          "labels": jnp.asarray(labels)}
+    b1 = {"points": jnp.asarray(dense), "mask": jnp.asarray(mask),
+          "labels": jnp.asarray(labels)}
+    return b0, b1
+
+
+def _loss(logits, batch):
+    return classification_loss(logits, batch["labels"]), {}
+
+
+def _run(tmp_path, budgets, batches, name):
+    model = TinyTile(tile_steps=budgets)
+    r = Runner(_args(tmp_path), model, _loss, batches[0], name)
+    out = r.train_epoch(iter(batches), epoch=0)
+    params = jax.device_get(r.state.params)
+    r.close()
+    return out, params
+
+
+def test_overflow_resizes_and_matches_generous_run(tmp_path):
+    b0, b1 = _batches()
+    # premise: the dense batch really does exceed batch0-sized budgets
+    d0 = int(count_tile_steps(b0["points"], b0["mask"], b0["points"],
+                              b0["mask"], RADIUS).max())
+    d1 = int(count_tile_steps(b1["points"], b1["mask"], b1["points"],
+                              b1["mask"], RADIUS).max())
+    tight = auto_tile_steps(TinyTile(), b0["points"], b0["mask"])
+    site = ("conv", 0, 0, RADIUS)
+    assert d1 > tight[site] >= d0, (d0, tight[site], d1)
+
+    out_small, params_small = _run(tmp_path, tight, [b0, b1], "small")
+    assert out_small["capacity_resizes"] >= 1
+    assert out_small["steps"] == 2
+    assert out_small.get("tile_overflow", 0.0) == 0.0
+
+    generous = {site: -(-int(d1 * 1.3 + 1) // 16) * 16}
+    out_big, params_big = _run(tmp_path, generous, [b0, b1], "big")
+    assert "capacity_resizes" not in out_big
+
+    # bitwise: the discarded corrupted update left no trace, and padding
+    # steps in the differently-sized kernels contribute exact zeros
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        params_small, params_big,
+    )
