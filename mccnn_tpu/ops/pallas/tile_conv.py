@@ -64,6 +64,13 @@ SENTINEL = 1.0e6  # far-away coordinate: d2 > r^2 against anything real
 # tile as the kernel (pair counts differ per tile size).
 DEFAULT_TILE = 128
 DEFAULT_CHUNK = 8
+# Minor (candidate-side) sub-tile granularity: each direction's CANDIDATE
+# tiles are Tm-point sub-tiles with their own AABBs while majors stay T, so
+# pair planes keep their (G*Tm, T) lane-128 shape and output accumulation is
+# untouched. Tighter minor boxes prune candidate points the T-granularity
+# test cannot (32k bench scene, host-counted: Tm=64 -> -25 % candidate work,
+# Tm=32 -> -40 %). Set by the round-5 on-chip A/B (tools/exp_tile_minor.py).
+DEFAULT_MINOR = 128
 
 
 class _TSpec(NamedTuple):
@@ -81,6 +88,16 @@ class _TSpec(NamedTuple):
     G: int = 1  # candidate tiles per grid step (chunking: amortizes per-step
     # overhead and feeds the MXU (G*T)-row pair planes; quantization waste is
     # <= one partial chunk per output tile)
+    probe: str = ""  # ROOFLINE measurement hook (MCCNN_TILE_PROBE): "" is the
+    # real kernel; "noop"/"planes"/"mm" strip the fwd body to grid+DMA+d2,
+    # +planes, +matmuls respectively; "bwd_noop" strips the bwd body. Results
+    # are WRONG under any probe — tools/exp_tile_roofline.py only.
+    Tm: int = 0  # minor (candidate-side) tile: fwd source minors and bwd
+    # sample minors are Tm-point sub-tiles with their own (tighter) AABBs,
+    # while majors stay T so every plane keeps its (G*Tm, T) lane-128 shape
+    # and per-major output accumulation is unchanged. 0 => Tm = T.
+    NTs_m: int = 0  # sample minor tiles (excl. sentinel); 0 => NTs * T / Tm
+    NTp_m: int = 0  # source minor tiles (excl. sentinel)
 
 
 # ----------------------------------------------------------------------------
@@ -223,11 +240,15 @@ def _points_near_boxes(rows3, mn, mx, T, radius):
     return jnp.any(near.reshape(B, nta, T, ntb), axis=2)
 
 
-def _refined_adjacency(smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, T, radius):
+def _refined_adjacency(
+    smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, T, radius, Tm=None
+):
     """AABB-AABB adjacency intersected with the point-vs-box test in BOTH
     directions (some sample point near source box AND some source point near
-    sample box). ``MCCNN_TILE_ADJ=aabb`` restores the round-3 box-only test
-    (A/B hook)."""
+    sample box). ``Tm`` is the SOURCE side's tile granularity (defaults to
+    ``T`` — symmetric); mixed granularity serves the minor-tile kernels.
+    ``MCCNN_TILE_ADJ=aabb`` restores the round-3 box-only test (A/B hook)."""
+    Tm = T if Tm is None else Tm
     nts, ntp = mn_i.shape[1], mn_j.shape[1]
     adj = _tile_adjacency(mn_i, mx_i, mn_j, mx_j, radius)
     if os.environ.get("MCCNN_TILE_ADJ") == "aabb":
@@ -236,7 +257,7 @@ def _refined_adjacency(smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, T, radius):
         smp_rows[:, : nts * T, :3], mn_j, mx_j, T, radius
     )
     near_ji = _points_near_boxes(
-        src_rows[:, : ntp * T, :3], mn_i, mx_i, T, radius
+        src_rows[:, : ntp * Tm, :3], mn_i, mx_i, Tm, radius
     )
     return adj & near_ij & jnp.swapaxes(near_ji, 1, 2)
 
@@ -349,21 +370,35 @@ def auto_tile_pairs(
     return -(-n // multiple) * multiple
 
 
-def _count_adjacency(sample_pts, sample_mask, src_pts, src_mask, radius, tile):
-    """The (B, nts, ntp) surviving-tile-pair adjacency the kernels will see
-    for these inputs (same sort, same refinement)."""
+def tile_minor(tile: int = DEFAULT_TILE) -> int:
+    """Minor (candidate-side) tile granularity used by the conv kernels.
+    ``MCCNN_TILE_MINOR`` overrides for A/Bs; must divide ``tile``."""
+    env = os.environ.get("MCCNN_TILE_MINOR")
+    m = int(env) if env else min(tile, DEFAULT_MINOR)
+    assert tile % m == 0 and m % 8 == 0, (tile, m)
+    return m
+
+
+def _count_adjacency(
+    sample_pts, sample_mask, src_pts, src_mask, radius, tile, minor=None
+):
+    """The (B, n_major, n_minor) surviving-tile-pair adjacency the kernels
+    will see for one list DIRECTION: majors are ``tile``-point tiles of the
+    sample side, minors ``minor``-point sub-tiles of the source side (same
+    sort, same refinement as the kernels)."""
+    minor = tile if minor is None else minor
     B, M, _ = sample_pts.shape
     N = src_pts.shape[1]
-    nts, ntp = -(-M // tile), -(-N // tile)
+    nts, ntp = -(-M // tile), -(-N // minor)
     smp_rows, _, mn_i, mx_i = _sorted_tiles(
         sample_pts, sample_mask, curve_order(sample_pts, sample_mask),
         tile, nts * tile,
     )
     src_rows, _, mn_j, mx_j = _sorted_tiles(
-        src_pts, src_mask, curve_order(src_pts, src_mask), tile, ntp * tile
+        src_pts, src_mask, curve_order(src_pts, src_mask), minor, ntp * minor
     )
     return _refined_adjacency(
-        smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, tile, radius
+        smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, tile, radius, minor
     )
 
 
@@ -379,11 +414,19 @@ def count_tile_pairs(
     distributions) value for ``tile_mc_conv(..., max_pairs=)``. Call on
     concrete data outside jit (``max_pairs`` must be static). For a TIGHT
     lossless budget on a fixed scene, pass ``count_tile_steps`` as
-    ``max_steps=`` instead."""
-    adj = _count_adjacency(
-        sample_pts, sample_mask, src_pts, src_mask, radius, tile
-    )
-    return adj.sum((1, 2))
+    ``max_steps=`` instead. With a minor granularity below ``tile`` the
+    count is the max over the two list directions (their minor-granularity
+    adjacencies differ)."""
+    minor = tile_minor(tile)
+    fwd = _count_adjacency(
+        sample_pts, sample_mask, src_pts, src_mask, radius, tile, minor
+    ).sum((1, 2))
+    if minor == tile:
+        return fwd
+    bwd = _count_adjacency(
+        src_pts, src_mask, sample_pts, sample_mask, radius, tile, minor
+    ).sum((1, 2))
+    return jnp.maximum(fwd, bwd)
 
 
 def count_tile_steps(
@@ -397,15 +440,23 @@ def count_tile_steps(
 ) -> Array:
     """Per-cloud chunked-step demand — the exact lossless value for
     ``tile_mc_conv(..., max_steps=)`` on these inputs: the max over the
-    forward (by sample tile) and backward (by source tile) list directions of
-    ``sum_rows ceil(row_pairs / chunk)``. Call on concrete data outside jit."""
-    adj = _count_adjacency(
-        sample_pts, sample_mask, src_pts, src_mask, radius, tile
+    forward (sample majors / source minors) and backward (source majors /
+    sample minors) list directions of ``sum_rows ceil(row_pairs / chunk')``
+    where ``chunk' = chunk * tile / minor`` keeps the plane height fixed.
+    Call on concrete data outside jit."""
+    minor = tile_minor(tile)
+    gm = chunk * (tile // minor)
+    fwd = _count_adjacency(
+        sample_pts, sample_mask, src_pts, src_mask, radius, tile, minor
     )
-    return jnp.maximum(
-        _needed_steps(adj, chunk),
-        _needed_steps(jnp.swapaxes(adj, 1, 2), chunk),
+    bwd = (
+        jnp.swapaxes(fwd, 1, 2)
+        if minor == tile
+        else _count_adjacency(
+            src_pts, src_mask, sample_pts, sample_mask, radius, tile, minor
+        )
     )
+    return jnp.maximum(_needed_steps(fwd, gm), _needed_steps(bwd, gm))
 
 
 # ----------------------------------------------------------------------------
@@ -452,35 +503,72 @@ def _fwd_kernel(
     cnt = jnp.sum(maskf, axis=0)  # (T,)
     pen = jnp.where(maskb, 0.0, _NEG)  # additive penalty: no per-h multiply
 
-    inv_r = 1.0 / spec.radius
-    cw = (
-        jnp.dot(cand[:, :W1_ROWS], w1_ref[:], preferred_element_type=jnp.float32)
-        * inv_r
-    )  # (T, H)
-    swT = (
-        jax.lax.dot_general(
-            w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * inv_r
-    )  # (H, T)
-    fz = fz_all  # (G*T, C) bf16
-
     CO = spec.C if spec.CO is None else spec.CO
-    acc = jnp.zeros((spec.T, CO), jnp.float32)
-    for h in range(spec.H):
-        pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0] + pen
-        a_h = jnp.maximum(pre, 0.0)  # (G*T, T); penalty zeroes masked pairs
-        g_h = _mm(a_h, fz, ((0,), (0,)))  # (T, C)
+    fz = fz_all  # (G*T, C) bf16
+    if spec.probe == "noop":  # grid + DMA + d2/cnt only (ROOFLINE probe)
+        acc = jnp.zeros((spec.T, CO), jnp.float32)
+    elif spec.probe == "planes":  # + plane generation, no feature matmuls
+        acc = jnp.zeros((spec.T, CO), jnp.float32)
+        cw = (
+            jnp.dot(cand[:, :W1_ROWS], w1_ref[:],
+                    preferred_element_type=jnp.float32)
+            / spec.radius
+        )
+        swT = (
+            jax.lax.dot_general(
+                w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            / spec.radius
+        )
+        for h in range(spec.H):
+            pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0] + pen
+            a_h = jnp.maximum(pre, 0.0)
+            acc += jnp.sum(a_h, axis=0)[:, None]  # keep a_h live, no MXU
+    elif spec.probe == "mm":  # d2 + the 9 feature matmuls, no plane VPU
+        acc = jnp.zeros((spec.T, CO), jnp.float32)
+        for h in range(spec.H):
+            g_h = _mm(d2, fz, ((0,), (0,)))  # (T, C)
+            if spec.CO is None:
+                acc += g_h * w2_ref[h : h + 1, :]
+            else:
+                acc += jnp.dot(g_h, w2_ref[h],
+                               preferred_element_type=jnp.float32)
+        g_0 = _mm(maskf, fz, ((0,), (0,)))
         if spec.CO is None:
-            acc += g_h * w2_ref[h : h + 1, :]
+            acc += g_0 * b2_ref[:]
         else:
-            acc += jnp.dot(g_h, w2_ref[h], preferred_element_type=jnp.float32)
-    g_0 = _mm(maskf, fz, ((0,), (0,)))
-    if spec.CO is None:
-        acc += g_0 * b2_ref[:]
+            acc += jnp.dot(g_0, b2_ref[:], preferred_element_type=jnp.float32)
     else:
-        acc += jnp.dot(g_0, b2_ref[:], preferred_element_type=jnp.float32)
+        inv_r = 1.0 / spec.radius
+        cw = (
+            jnp.dot(cand[:, :W1_ROWS], w1_ref[:],
+                    preferred_element_type=jnp.float32)
+            * inv_r
+        )  # (T, H)
+        swT = (
+            jax.lax.dot_general(
+                w1_ref[:], smp_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * inv_r
+        )  # (H, T)
+
+        acc = jnp.zeros((spec.T, CO), jnp.float32)
+        for h in range(spec.H):
+            pre = cw[:, h : h + 1] - swT[h : h + 1, :] + b1_ref[h, 0] + pen
+            a_h = jnp.maximum(pre, 0.0)  # (G*T, T); penalty zeroes masked pairs
+            g_h = _mm(a_h, fz, ((0,), (0,)))  # (T, C)
+            if spec.CO is None:
+                acc += g_h * w2_ref[h : h + 1, :]
+            else:
+                acc += jnp.dot(g_h, w2_ref[h],
+                               preferred_element_type=jnp.float32)
+        g_0 = _mm(maskf, fz, ((0,), (0,)))
+        if spec.CO is None:
+            acc += g_0 * b2_ref[:]
+        else:
+            acc += jnp.dot(g_0, b2_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(first)
     def _init():
@@ -521,7 +609,7 @@ def _bwd_kernel(
     3H+2 (v1) -> 2H+1.
     """
     G = spec.G
-    Q = G * spec.T
+    Q = G * (spec.Tm or spec.T)
     j_ref, i_ref, src_t_ref, src_feat_ref = refs[:4]
     smp_refs = refs[4 : 4 + G]
     dout_refs = refs[4 + G : 4 + 2 * G]
@@ -551,6 +639,19 @@ def _bwd_kernel(
     d2 = _pair_d2(q, src_t)  # (Q, Tp)
     maskb = d2 <= spec.radius * spec.radius
     pen = jnp.where(maskb, 0.0, _NEG)
+
+    if spec.probe == "bwd_noop":  # grid + DMA + d2 only (ROOFLINE probe)
+        zero = jnp.sum(pen) * 0.0
+
+        @pl.when(first)
+        def _init_probe():
+            dfeat_ref[0] = jnp.zeros((spec.T, spec.C), jnp.float32) + zero
+
+        @pl.when(jnp.logical_not(first))
+        def _accum_probe():
+            dfeat_ref[0] += zero
+
+        return
 
     inv_r = 1.0 / spec.radius
     cwq = (
@@ -778,6 +879,7 @@ def _bwd_kernel_v1(
 
 def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, j_ids):
     S, T, G = spec.S, spec.T, spec.G
+    Tm = spec.Tm or T
     CO = spec.C if spec.CO is None else spec.CO
 
     def ix_i(s, i, j):
@@ -799,8 +901,8 @@ def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, 
             num_scalar_prefetch=2,
             grid=(B * S,),
             in_specs=[vm((1, 8, T), ix_i)]
-            + [vm((1, T, LANE), ix_jg(g)) for g in range(G)]
-            + [vm((1, T, spec.C), ix_jg(g)) for g in range(G)]
+            + [vm((1, Tm, LANE), ix_jg(g)) for g in range(G)]
+            + [vm((1, Tm, spec.C), ix_jg(g)) for g in range(G)]
             + [vm(), vm(), vm(), vm()]
             + [
                 vm((1, T, CO), ix_i),  # zero init for out (aliased)
@@ -829,6 +931,7 @@ def _bwd_call(
     spec: _TSpec, B, src_t, src_feat, smp_pos, dout, w1, b1, w2, b2, jb_ids, ib_ids
 ):
     S, T, G = spec.S, spec.T, spec.G
+    Tm = spec.Tm or T
     CO = spec.C if spec.CO is None else spec.CO
 
     def ix_j(s, j, i):
@@ -849,7 +952,7 @@ def _bwd_call(
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     dfeat_init_idx = 4 + 2 * G + 4  # index of the aliased zeros input
     use_v1 = os.environ.get("MCCNN_TILE_BWD_V1") == "1"
-    Q = G * T
+    Q = G * Tm
     scratch = (
         []
         if use_v1
@@ -867,8 +970,8 @@ def _bwd_call(
                 vm((1, 8, T), ix_j),
                 vm((1, T, spec.C), ix_j),
             ]
-            + [vm((1, T, LANE), ix_ig(g)) for g in range(G)]
-            + [vm((1, T, CO), ix_ig(g)) for g in range(G)]
+            + [vm((1, Tm, LANE), ix_ig(g)) for g in range(G)]
+            + [vm((1, Tm, CO), ix_ig(g)) for g in range(G)]
             + [vm(), vm(), vm(), vm()]
             + [vm((1, T, spec.C), ix_j)],  # zero init for dfeat (aliased)
             out_specs=[
@@ -910,40 +1013,57 @@ def _ids(x):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _tile_conv_core(
-    spec: _TSpec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat,
-    i_f, j_f, jb_f, ib_f,
+    spec: _TSpec, w1, b1, w2, b2, smp_t, smp_pos_m, src_pos_m, src_t,
+    src_feat_m, src_feat_M, i_f, j_f, jb_f, ib_f,
 ):
+    """``_m`` operands are MINOR-layout row buffers (the candidate side of
+    each direction: fwd source minors, bwd sample minors); ``smp_t`` /
+    ``src_t`` / ``src_feat_M`` are major-layout (per-major-tile metas,
+    backward feature blocks). With Tm == T the two layouts coincide and the
+    wrapper passes the same arrays."""
     B = smp_t.shape[0]
     out, cnt = _fwd_call(
-        spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, _ids(i_f), _ids(j_f)
+        spec, B, smp_t, src_pos_m, src_feat_m, w1, b1, w2, b2,
+        _ids(i_f), _ids(j_f),
     )
     return out, cnt
 
 
 def _core_fwd(
-    spec, w1, b1, w2, b2, smp_t, smp_pos, src_pos, src_t, src_feat,
-    i_f, j_f, jb_f, ib_f,
+    spec, w1, b1, w2, b2, smp_t, smp_pos_m, src_pos_m, src_t, src_feat_m,
+    src_feat_M, i_f, j_f, jb_f, ib_f,
 ):
     B = smp_t.shape[0]
     out, cnt = _fwd_call(
-        spec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, _ids(i_f), _ids(j_f)
+        spec, B, smp_t, src_pos_m, src_feat_m, w1, b1, w2, b2,
+        _ids(i_f), _ids(j_f),
     )
     return (out, cnt), (
-        w1, b1, w2, b2, smp_pos, src_t, src_feat, jb_f, ib_f,
+        w1, b1, w2, b2, smp_pos_m, src_t, src_feat_M, jb_f, ib_f,
     )
 
 
 def _core_bwd(spec, res, cts):
     dout, _dcnt = cts  # cnt does not depend on params/features
-    w1, b1, w2, b2, smp_pos, src_t, src_feat, jb_f, ib_f = res
+    w1, b1, w2, b2, smp_pos_m, src_t, src_feat_M, jb_f, ib_f = res
     B = src_t.shape[0]
-    # Sentinel sample tile for padding pair entries: zero cotangent rows.
-    dout_pad = jnp.pad(dout, ((0, 0), (0, spec.T), (0, 0)))
+    Tm = spec.Tm or spec.T
+    nts_m = spec.NTs_m or spec.NTs * (spec.T // Tm)
+    ntp_m = spec.NTp_m or spec.NTp * (spec.T // Tm)
+    # Re-layout the out cotangent to sample-MINOR rows: the sorted sequence
+    # is shared, minor rows are a prefix of the (coarser-padded) major rows,
+    # and rows past the real sample count carry zero cotangent (unsort reads
+    # only the first M rows). Sentinel minor tile appended: zero rows.
+    dout_pad = jnp.pad(
+        dout[:, : nts_m * Tm], ((0, 0), (0, Tm), (0, 0))
+    )
     dfeat, dw1, db1, dw2, db2 = _bwd_call(
-        spec, B, src_t, src_feat, smp_pos, dout_pad, w1, b1, w2, b2,
+        spec, B, src_t, src_feat_M, smp_pos_m, dout_pad, w1, b1, w2, b2,
         _ids(jb_f), _ids(ib_f),
     )
-    # Cotangent of src_feat must match its (B, (NTp+1)*T, C) shape.
+    # Cotangent of src_feat_M must match its (B, (NTp+1)*T, C) shape; the
+    # minor copy src_feat_m gets zeros (the wrapper derives both from the
+    # same features, so the full gradient rides the major copy alone).
     dfeat = jnp.pad(dfeat, ((0, 0), (0, spec.T), (0, 0)))
     return (
         dw1,
@@ -951,10 +1071,13 @@ def _core_bwd(spec, res, cts):
         dw2,
         db2,
         jnp.zeros((B, spec.NTs * 8, spec.T), jnp.float32),  # smp_t
-        jnp.zeros_like(smp_pos),
-        jnp.zeros((B, (spec.NTp + 1) * spec.T, LANE), jnp.float32),  # src_pos
+        jnp.zeros_like(smp_pos_m),
+        jnp.zeros((B, (ntp_m + 1) * Tm, LANE), jnp.float32),  # src_pos_m
         jnp.zeros_like(src_t),
-        dfeat.astype(src_feat.dtype),
+        jnp.zeros(
+            (B, (ntp_m + 1) * Tm, spec.C), src_feat_M.dtype
+        ),  # src_feat_m
+        dfeat.astype(src_feat_M.dtype),
         jnp.zeros_like(jb_f),  # i_f
         jnp.zeros_like(jb_f),  # j_f
         jnp.zeros_like(jb_f),
@@ -984,6 +1107,7 @@ def tile_mc_conv(
     max_steps: int | None = None,
     tile: int = DEFAULT_TILE,
     chunk: int = DEFAULT_CHUNK,
+    minor: int | None = None,
     c_out: int | None = None,
     mean_normalize: bool = False,
     interpret: bool = False,
@@ -998,6 +1122,16 @@ def tile_mc_conv(
     ``chunk`` groups that many candidate tiles per grid step ((chunk*T, T)
     pair planes): fewer grid steps and taller MXU operands at the cost of
     <= one partial chunk of padding per output tile.
+
+    ``minor`` (default ``tile_minor()``: DEFAULT_MINOR / env
+    ``MCCNN_TILE_MINOR``) sets the CANDIDATE-side sub-tile granularity of
+    both list directions: candidate tiles of ``minor`` points carry their own
+    tighter AABBs (fewer surviving candidate points; -25 % at 64, -40 % at 32
+    on the 32k bench scene) while majors stay ``tile``, so pair-plane shapes
+    and per-major output accumulation are unchanged; the per-step chunk
+    becomes ``chunk * tile / minor``. ``count_tile_steps`` /
+    ``count_tile_pairs`` must see the same minor (they read the same env
+    default).
 
     ``max_steps`` (optional) caps the static chunked-step budget DIRECTLY,
     overriding the worst-case-over-distributions budget derived from
@@ -1038,7 +1172,11 @@ def tile_mc_conv(
         )
         b2 = jnp.pad(params.b2.reshape(C, c_out), ((0, Cp - C), (0, COp - c_out)))
 
+    Tm = tile_minor(T) if minor is None else minor
+    assert T % Tm == 0 and Tm % 8 == 0, (T, Tm)
+    Gm = chunk * (T // Tm)  # minor chunk: plane height stays chunk * T
     nts, ntp = -(-M // T), -(-N // T)
+    nts_m, ntp_m = -(-M // Tm), -(-N // Tm)
 
     order_s = curve_order(sample_pts, sample_mask)
     order_p = curve_order(src_pts, src_mask)
@@ -1048,42 +1186,69 @@ def tile_mc_conv(
     src_rows, src_valid, mn_j, mx_j = _sorted_tiles(
         src_pts, src_mask, order_p, T, ntp * T
     )
+    if Tm == T:  # symmetric: minor layouts are the major ones
+        smp_rows_m, src_rows_m = smp_rows, src_rows
+        mn_i_m, mx_i_m, mn_j_m, mx_j_m = mn_i, mx_i, mn_j, mx_j
+    else:
+        smp_rows_m, _, mn_i_m, mx_i_m = _sorted_tiles(
+            sample_pts, sample_mask, order_s, Tm, nts_m * Tm
+        )
+        src_rows_m, _, mn_j_m, mx_j_m = _sorted_tiles(
+            src_pts, src_mask, order_p, Tm, ntp_m * Tm
+        )
 
     wf_sorted = jnp.take_along_axis(wf, order_p[..., None], axis=1)
     wf_sorted = jnp.where(src_valid[:, :N, None], wf_sorted, 0.0)
-    wf_sorted = jnp.pad(
+    wf_M = jnp.pad(
         wf_sorted, ((0, 0), (0, (ntp + 1) * T - N), (0, 0))
     ).astype(FEAT_DTYPE)
-
-    adj = _refined_adjacency(
-        smp_rows, mn_i, mx_i, src_rows, mn_j, mx_j, T, radius
+    wf_m = (
+        wf_M
+        if Tm == T
+        else jnp.pad(
+            wf_sorted, ((0, 0), (0, (ntp_m + 1) * Tm - N), (0, 0))
+        ).astype(FEAT_DTYPE)
     )
-    G = chunk
+
+    # fwd direction: sample majors x source minors
+    adj_f = _refined_adjacency(
+        smp_rows, mn_i, mx_i, src_rows_m, mn_j_m, mx_j_m, T, radius, Tm
+    )
+    # bwd direction: source majors x sample minors
+    adj_b = (
+        jnp.swapaxes(adj_f, 1, 2)
+        if Tm == T
+        else _refined_adjacency(
+            src_rows, mn_j, mx_j, smp_rows_m, mn_i_m, mx_i_m, T, radius, Tm
+        )
+    )
     # one static step count for both kernels; padding steps are
     # (last real major tile, all-sentinel minors)
-    cap = min(max_pairs, nts * ntp)
+    cap_f = min(max_pairs, nts * ntp_m)
+    cap_b = min(max_pairs, ntp * nts_m)
     S = max(
-        _steps_for_pairs(cap, G, nts, ntp), _steps_for_pairs(cap, G, ntp, nts)
+        _steps_for_pairs(cap_f, Gm, nts, ntp_m),
+        _steps_for_pairs(cap_b, Gm, ntp, nts_m),
     )
     if max_steps is not None:
         S = min(S, max(int(max_steps), 1))
     # fwd list: sorted by sample tile
-    i_ids, j_ids = _chunked_pair_lists(adj, S, G, nts - 1, ntp)
+    i_ids, j_ids = _chunked_pair_lists(adj_f, S, Gm, nts - 1, ntp_m)
     # bwd list: sorted by source tile
-    jb_ids, ib_ids = _chunked_pair_lists(
-        jnp.swapaxes(adj, 1, 2), S, G, ntp - 1, nts
-    )
+    jb_ids, ib_ids = _chunked_pair_lists(adj_b, S, Gm, ntp - 1, nts_m)
 
     smp_t = transposed_tiles(smp_rows[:, : nts * T], T)  # (B, nts*8, T)
     src_t = transposed_tiles(src_rows[:, : ntp * T], T)  # (B, ntp*8, T)
 
     spec = _TSpec(
         T=T, C=Cp, CO=COp, H=H, radius=radius, S=S, NTs=nts, NTp=ntp,
-        interpret=interpret, G=G,
+        interpret=interpret, G=Gm, Tm=Tm, NTs_m=nts_m, NTp_m=ntp_m,
+        probe=os.environ.get("MCCNN_TILE_PROBE", ""),
     )
 
     out_sorted, cnt = _tile_conv_core(
-        spec, w1, b1, w2, b2, smp_t, smp_rows, src_rows, src_t, wf_sorted,
+        spec, w1, b1, w2, b2, smp_t, smp_rows_m, src_rows_m, src_t,
+        wf_m, wf_M,
         i_ids.astype(jnp.float32), j_ids.astype(jnp.float32),
         jb_ids.astype(jnp.float32), ib_ids.astype(jnp.float32),
     )
@@ -1102,9 +1267,7 @@ def tile_mc_conv(
     out = jax.vmap(unsort)(order_s, out_sorted)
     out = jnp.where(sample_mask[..., None], out, 0.0)
     if with_overflow:
-        need = jnp.maximum(
-            _needed_steps(adj, G), _needed_steps(jnp.swapaxes(adj, 1, 2), G)
-        )
+        need = jnp.maximum(_needed_steps(adj_f, Gm), _needed_steps(adj_b, Gm))
         return out, jnp.maximum(need - S, 0)
     return out
 
