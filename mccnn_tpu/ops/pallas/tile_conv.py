@@ -366,7 +366,10 @@ def auto_tile_pairs(
         np.asarray(count_tile_steps(pts, mask, pts, mask, radius, tile, chunk)).max()
     )
     target_s = int(need * headroom) + 1
-    n = max(chunk * (target_s - nt), chunk)
+    # invert S(max_pairs) = ceil(max_pairs / G') + n_major with the MINOR
+    # chunk G' = chunk * tile / minor (what the kernels actually use)
+    gm = chunk * (tile // tile_minor(tile))
+    n = max(gm * (target_s - nt), gm)
     return -(-n // multiple) * multiple
 
 

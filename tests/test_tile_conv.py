@@ -71,6 +71,47 @@ def test_tile_conv_matches_reference(rng, c_out):
     )
 
 
+@pytest.mark.parametrize("minor", [64, 32])
+def test_tile_conv_minor_granularity_cross_set(rng, minor):
+    """Minor-granularity candidate sub-tiles (round 5): cross-set (M != N,
+    masked both sides) forward AND grads must match the symmetric kernel —
+    the bwd direction runs its own (source-major x sample-minor) adjacency
+    and the feature cotangent rides the major-layout copy."""
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], None)
+    S = _max_pairs(smp, qmask, src, smask, radius)
+
+    def loss(p, f, m):
+        o = tile_mc_conv(
+            p, smp, qmask, src, smask, f, pdf, radius,
+            max_pairs=S if m is None else 1 << 30, tile=TILE, minor=m,
+            interpret=True,
+        )
+        return jnp.sum(o * o), o
+
+    (_, ref), (_, got) = loss(params, feats, None), loss(params, feats, minor)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5,
+        atol=1e-5 * float(jnp.abs(ref).max()),
+    )
+    gp_m, gf_m = jax.grad(lambda p, f: loss(p, f, minor)[0], (0, 1))(
+        params, feats
+    )
+    gp_r, gf_r = jax.grad(lambda p, f: loss(p, f, None)[0], (0, 1))(
+        params, feats
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf_m), np.asarray(gf_r), rtol=1e-5,
+        atol=1e-5 * float(jnp.abs(gf_r).max()),
+    )
+    for a, b in zip(jax.tree.leaves(gp_m), jax.tree.leaves(gp_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5,
+            atol=1e-5 * float(jnp.abs(b).max()),
+        )
+
+
 @pytest.mark.parametrize("chunk", [1, 3])
 def test_tile_conv_grads_match_reference(rng, chunk):
     src, smp, feats, smask, qmask, pdf = setup(rng)

@@ -60,6 +60,8 @@ def main():
     from mccnn_tpu.ops.pallas import count_tile_steps, tile_mc_conv
     from mccnn_tpu.ops.pallas.tile_conv import _count_adjacency
 
+    from mccnn_tpu.ops.pallas.tile_conv import tile_minor
+
     rng = np.random.default_rng(1)  # bench.py's scene
     p_np = surface_scene(rng, NB)
     pts = jnp.asarray(p_np)[None]
@@ -68,14 +70,16 @@ def main():
     pdf = jnp.ones((1, NB), jnp.float32)
     params = init_mcconv_params(jax.random.PRNGKey(0), CB, None)
 
+    Tm = tile_minor(T)
+    Gm = G * (T // Tm)
     steps = int(count_tile_steps(pts, mask, pts, mask, RB).max())
-    adj = np.asarray(_count_adjacency(pts, mask, pts, mask, RB, T))
+    adj = np.asarray(_count_adjacency(pts, mask, pts, mask, RB, T, Tm))
     pairs = int(adj.sum())
-    slots = steps * G
-    cand_pairs = slots * T * T
+    slots = steps * Gm
+    cand_pairs = slots * Tm * T
     tp = true_pairs(p_np, RB)
-    print(f"N={NB} r={RB} T={T} G={G}: steps={steps} tile_pairs={pairs} "
-          f"slots={slots} cand_pairs={cand_pairs/1e6:.0f}M "
+    print(f"N={NB} r={RB} T={T} Tm={Tm} G={Gm}: steps={steps} "
+          f"tile_pairs={pairs} slots={slots} cand_pairs={cand_pairs/1e6:.0f}M "
           f"true_pairs={tp/1e6:.2f}M overcompute={cand_pairs/tp:.1f}x",
           flush=True)
 
@@ -147,11 +151,11 @@ def main():
     bwd_noop = d["fwd+bwd, bwd noop"] - fwd
     print(f"bwd overhead+DMA+d2: {bwd_noop*1e3:.2f} ms")
     # analytic floors at measured unit rates (ROOFLINE.md: 165 TFLOP/s bf16
-    # measured; VPU ~3.8 TOPS f32)
-    mxu_fwd = slots * (9 * 2 * T * T * CB) / 165e12
-    mxu_bwd = slots * ((9 + 8) * 2 * T * T * CB + 8 * 2 * T * T * CB) / 165e12
-    vpu_fwd = slots * T * T * (8 + 4 * H) / 3.8e12
-    vpu_bwd = slots * T * T * (8 + 5 * H + 6) / 3.8e12
+    # measured; VPU ~3.8 TOPS f32); per-slot plane is (Tm, T)
+    mxu_fwd = slots * (9 * 2 * Tm * T * CB) / 165e12
+    mxu_bwd = slots * ((9 + 8) * 2 * Tm * T * CB + 8 * 2 * Tm * T * CB) / 165e12
+    vpu_fwd = slots * Tm * T * (8 + 4 * H) / 3.8e12
+    vpu_bwd = slots * Tm * T * (8 + 5 * H + 6) / 3.8e12
     print(f"analytic serialized floor: fwd {(mxu_fwd+vpu_fwd)*1e3:.2f} ms "
           f"(mxu {mxu_fwd*1e3:.2f} + vpu {vpu_fwd*1e3:.2f}), "
           f"bwd {(mxu_bwd+vpu_bwd)*1e3:.2f} ms "
