@@ -21,7 +21,13 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mcconv_kernel import FEAT_DTYPE, LANE, _pair_d2, transposed_tiles
+from .mcconv_kernel import (
+    _COMPILER_PARAMS,
+    FEAT_DTYPE,
+    LANE,
+    _pair_d2,
+    transposed_tiles,
+)
 
 MAX_N = 1024  # (N, N) f32 pair matrices must fit VMEM
 
@@ -206,18 +212,26 @@ def _sweep_kernel_v4(
         unc_s = valid_s * (1.0 - cov_s)
         unc_l = jnp.swapaxes(unc_s, 1, 2)  # (SB, 1, N)
         if pred_ref is not None:
+            # mul AND max stay bf16 (0/1 exact; a f32 cast of the (SB, N, N)
+            # product blew the 16 MiB scoped-vmem stack at 24.08 MiB) —
+            # only the (SB, N, 1) result is cast back
             pb = pred_ref[:] * unc_l.astype(FEAT_DTYPE)  # (SB, N, N) bf16
-            blocked_s = jnp.max(
-                pb.astype(jnp.float32), axis=2, keepdims=True
+            blocked_s = jnp.max(pb, axis=2, keepdims=True).astype(
+                jnp.float32
             )  # (SB, N, 1): any uncovered same-cell predecessor
         else:
+            # bf16 multiply chain — Mosaic rejects the 3-D dual-broadcast
+            # bool AND this replaces (observed on-chip, 2026-08-19)
             cid_s3 = cid_ref[:]  # (SB, N, 1)
             cid_l3 = jnp.swapaxes(cid_s3, 1, 2)
-            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
-            pred = (cid_s3 == cid_l3) & (iota_l < iota_s)
-            blocked_s = jnp.max(
-                jnp.where(pred, unc_l, 0.0), axis=2, keepdims=True
+            cideq = (cid_s3 == cid_l3).astype(FEAT_DTYPE)  # (SB, N, N)
+            tri = (
+                jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+                > jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            ).astype(FEAT_DTYPE)[None]
+            pb = cideq * tri * unc_l.astype(FEAT_DTYPE)
+            blocked_s = jnp.max(pb, axis=2, keepdims=True).astype(
+                jnp.float32
             )
         cand_s = (
             unc_s
@@ -228,8 +242,8 @@ def _sweep_kernel_v4(
         )  # (SB, N, 1)
         sel_s = jnp.maximum(sel_s, cand_s)
         cand_l = jnp.swapaxes(cand_s, 1, 2)  # (SB, 1, N)
-        ca = adj_ref[:] * cand_l.astype(FEAT_DTYPE)  # (SB, N, N)
-        new_cov = jnp.max(ca.astype(jnp.float32), axis=2, keepdims=True)
+        ca = adj_ref[:] * cand_l.astype(FEAT_DTYPE)  # (SB, N, N) bf16
+        new_cov = jnp.max(ca, axis=2, keepdims=True).astype(jnp.float32)
         cov_s = jnp.maximum(cov_s, new_cov)
         return sel_s, cov_s
 
@@ -266,6 +280,9 @@ def _call_v4(spec: _PSpec, SB, pos, pos_t, cidf, colf, interpret):
         out_shape=[jax.ShapeDtypeStruct((B, Np, 1), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
+        # (SB, N, N) scratches + setup temps exceed the default 16 MiB
+        # scoped-vmem budget; the shared 64 MiB cap bounds SB at 4
+        compiler_params=_COMPILER_PARAMS,
     )(pos, pos_t, cidf[..., None], meta_l)
     return sel
 

@@ -98,6 +98,12 @@ class _TSpec(NamedTuple):
     # and per-major output accumulation is unchanged. 0 => Tm = T.
     NTs_m: int = 0  # sample minor tiles (excl. sentinel); 0 => NTs * T / Tm
     NTp_m: int = 0  # source minor tiles (excl. sentinel)
+    pack: bool = False  # fuse each minor tile's positions + bf16 payload
+    # (features fwd / out-cotangent bwd) into ONE (Tm + nc*Tm/2, 128) f32
+    # record per candidate — HALF the DMA issues per step. The round-5
+    # roofline probes showed the Tm=32 kernel is DMA-ISSUE-bound (fwd noop =
+    # 56 % of fwd at 64 block fetches/step). MCCNN_TILE_PACK=0 restores
+    # separate operands (A/B hook).
 
 
 # ----------------------------------------------------------------------------
@@ -463,6 +469,50 @@ def count_tile_steps(
 
 
 # ----------------------------------------------------------------------------
+# Packed minor records (positions + bf16 payload in one DMA)
+# ----------------------------------------------------------------------------
+
+
+def _pack_rows(tile_m: int, c: int) -> int:
+    """Rows per packed minor record: Tm position rows + the bf16 payload
+    bitcast-packed into f32 sublane pairs (c/128 lane-chunks stacked)."""
+    return tile_m + (c // LANE) * tile_m // 2
+
+
+def _pack_minor(rows_m: Array, payload: Array, tile_m: int) -> Array:
+    """Fuse minor-layout position rows (B, nt1*Tm, LANE) f32 and a bf16
+    payload (B, nt1*Tm, C) into (B, nt1*R, LANE) f32 records, one contiguous
+    block per minor tile. Payload rows 2s/2s+1 of each lane chunk pair into
+    one f32 row (little-endian, matching ``pltpu.bitcast``'s sublane
+    packing — round-trip probed on-chip 2026-08-19)."""
+    B, total, C = payload.shape
+    nt1 = total // tile_m
+    nc = C // LANE
+    f = payload.reshape(B, nt1, tile_m, nc, LANE)
+    f = jnp.swapaxes(f, 2, 3)  # (B, nt1, nc, Tm, LANE)
+    f = f.reshape(B, nt1, nc, tile_m // 2, 2, LANE)
+    f = jnp.swapaxes(f, 4, 5)  # (..., Tm/2, LANE, 2)
+    f32 = jax.lax.bitcast_convert_type(f, jnp.float32)
+    f32 = f32.reshape(B, nt1, nc * tile_m // 2, LANE)
+    pos = rows_m.reshape(B, nt1, tile_m, LANE)
+    out = jnp.concatenate([pos, f32], axis=2)
+    return out.reshape(B, nt1 * _pack_rows(tile_m, C), LANE)
+
+
+def _unpack_minor(blk, tile_m: int, c: int):
+    """(R, LANE) packed record -> ((Tm, LANE) f32 positions, (Tm, c) bf16
+    payload)."""
+    cand = blk[:tile_m]
+    bf = pltpu.bitcast(blk[tile_m:], FEAT_DTYPE)  # (nc*Tm, LANE)
+    nc = c // LANE
+    if nc == 1:
+        return cand, bf
+    return cand, jnp.concatenate(
+        [bf[k * tile_m : (k + 1) * tile_m] for k in range(nc)], axis=1
+    )
+
+
+# ----------------------------------------------------------------------------
 # Kernels
 # ----------------------------------------------------------------------------
 
@@ -471,21 +521,22 @@ def _fwd_kernel(
     spec: _TSpec,
     *refs,
 ):
-    """``refs`` layout (G = spec.G):
+    """``refs`` layout (G = spec.G, minors of Tm points):
 
       i_ref (B, S) SMEM — sample-tile id per step (non-decreasing),
-      j_ref (B, G, S) SMEM — candidate source-tile ids (NTp = sentinel),
-      smp_t_ref (1, 8, T), G x cand_pos (1, T, LANE), G x cand_feat
-      (1, T, C) bf16, w1 (8, H), b1 (H, 1), w2, b2,
-      _out_init/_cnt_init (aliased zeros), out_ref (1, T, C'), cnt_ref
-      (1, T, 1) — accumulated across the tile's consecutive steps.
+      j_ref (B, G, S) SMEM — candidate source-MINOR ids (NTp_m = sentinel),
+      smp_t_ref (1, 8, T), then the candidate blocks — packed mode
+      (spec.pack): G x record (1, R, LANE) carrying positions + bitcast bf16
+      features; else G x cand_pos (1, Tm, LANE) + G x cand_feat (1, Tm, C)
+      bf16 — then w1 (8, H), b1 (H, 1), w2, b2, _out_init/_cnt_init (aliased
+      zeros), out_ref (1, T, C'), cnt_ref (1, T, 1) — accumulated across the
+      tile's consecutive steps.
     """
     G = spec.G
     i_ref, j_ref, smp_t_ref = refs[0], refs[1], refs[2]
-    pos_refs = refs[3 : 3 + G]
-    feat_refs = refs[3 + G : 3 + 2 * G]
+    n_min = G if spec.pack else 2 * G
     (w1_ref, b1_ref, w2_ref, b2_ref, _out_init, _cnt_init, out_ref,
-     cnt_ref) = refs[3 + 2 * G :]
+     cnt_ref) = refs[3 + n_min :]
     step = pl.program_id(0)
     S = jnp.int32(spec.S)
     b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
@@ -494,12 +545,20 @@ def _fwd_kernel(
     first = (k == 0) | (i_cur != i_prev)
 
     smp_t = smp_t_ref[0]  # (8, T)
-    if G == 1:
-        cand = pos_refs[0][0]  # (T, 128)
-        fz_all = feat_refs[0][0]
+    if spec.pack:
+        Tm = spec.Tm or spec.T
+        parts = [_unpack_minor(r[0], Tm, spec.C) for r in refs[3 : 3 + G]]
+        cand = jnp.concatenate([p for p, _ in parts], axis=0)  # (G*Tm, 128)
+        fz_all = jnp.concatenate([f for _, f in parts], axis=0)
     else:
-        cand = jnp.concatenate([r[0] for r in pos_refs], axis=0)  # (G*T, 128)
-        fz_all = jnp.concatenate([r[0] for r in feat_refs], axis=0)
+        pos_refs = refs[3 : 3 + G]
+        feat_refs = refs[3 + G : 3 + 2 * G]
+        if G == 1:
+            cand = pos_refs[0][0]  # (T, 128)
+            fz_all = feat_refs[0][0]
+        else:
+            cand = jnp.concatenate([r[0] for r in pos_refs], axis=0)
+            fz_all = jnp.concatenate([r[0] for r in feat_refs], axis=0)
     d2 = _pair_d2(cand, smp_t)  # (G*T, T): candidates x samples
     maskb = d2 <= spec.radius * spec.radius
     maskf = maskb.astype(jnp.float32)
@@ -612,12 +671,13 @@ def _bwd_kernel(
     3H+2 (v1) -> 2H+1.
     """
     G = spec.G
-    Q = G * (spec.Tm or spec.T)
+    Tm = spec.Tm or spec.T
+    Q = G * Tm
+    CO = spec.C if spec.CO is None else spec.CO
     j_ref, i_ref, src_t_ref, src_feat_ref = refs[:4]
-    smp_refs = refs[4 : 4 + G]
-    dout_refs = refs[4 + G : 4 + 2 * G]
+    n_min = G if spec.pack else 2 * G
     (w1_ref, b1_ref, w2_ref, b2_ref, _dfeat_init, dfeat_ref, dw1_ref,
-     db1_ref, dw2_ref, db2_ref, abig_ref, tbig_ref) = refs[4 + 2 * G :]
+     db1_ref, dw2_ref, db2_ref, abig_ref, tbig_ref) = refs[4 + n_min :]
     step = pl.program_id(0)
     S = jnp.int32(spec.S)
     b, k = jax.lax.div(step, S), jax.lax.rem(step, S)
@@ -633,12 +693,19 @@ def _bwd_kernel(
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     src_t = src_t_ref[0]  # (8, Tp)
-    if G == 1:
-        q = smp_refs[0][0]  # (Q, 128)
-        dout_all = dout_refs[0][0]
+    if spec.pack:
+        parts = [_unpack_minor(r[0], Tm, CO) for r in refs[4 : 4 + G]]
+        q = jnp.concatenate([p for p, _ in parts], axis=0)  # (Q, 128)
+        dout_all = jnp.concatenate([f for _, f in parts], axis=0)  # bf16
     else:
-        q = jnp.concatenate([r[0] for r in smp_refs], axis=0)  # (Q, 128)
-        dout_all = jnp.concatenate([r[0] for r in dout_refs], axis=0)
+        smp_refs = refs[4 : 4 + G]
+        dout_refs = refs[4 + G : 4 + 2 * G]
+        if G == 1:
+            q = smp_refs[0][0]  # (Q, 128)
+            dout_all = dout_refs[0][0]
+        else:
+            q = jnp.concatenate([r[0] for r in smp_refs], axis=0)  # (Q, 128)
+            dout_all = jnp.concatenate([r[0] for r in dout_refs], axis=0)
     d2 = _pair_d2(q, src_t)  # (Q, Tp)
     maskb = d2 <= spec.radius * spec.radius
     pen = jnp.where(maskb, 0.0, _NEG)
@@ -897,15 +964,23 @@ def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, 
         return ix
 
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    n_in = 2 + 2 * G + 4 + 2  # prefetch + blocks + params + aliased inits
+    if spec.pack:  # src_pos IS the packed record buffer; src_feat unused
+        R = _pack_rows(Tm, spec.C)
+        minor_specs = [vm((1, R, LANE), ix_jg(g)) for g in range(G)]
+        minor_ops = [src_pos] * G
+    else:
+        minor_specs = [vm((1, Tm, LANE), ix_jg(g)) for g in range(G)] + [
+            vm((1, Tm, spec.C), ix_jg(g)) for g in range(G)
+        ]
+        minor_ops = [src_pos] * G + [src_feat] * G
+    n_in = 2 + len(minor_ops) + 4 + 2  # prefetch + blocks + params + inits
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B * S,),
             in_specs=[vm((1, 8, T), ix_i)]
-            + [vm((1, Tm, LANE), ix_jg(g)) for g in range(G)]
-            + [vm((1, Tm, spec.C), ix_jg(g)) for g in range(G)]
+            + minor_specs
             + [vm(), vm(), vm(), vm()]
             + [
                 vm((1, T, CO), ix_i),  # zero init for out (aliased)
@@ -923,7 +998,7 @@ def _fwd_call(spec: _TSpec, B, smp_t, src_pos, src_feat, w1, b1, w2, b2, i_ids, 
         compiler_params=_COMPILER_PARAMS,
     )(
         i_ids, j_ids, smp_t,
-        *([src_pos] * G), *([src_feat] * G),
+        *minor_ops,
         w1, b1, w2, b2,
         jnp.zeros((B, spec.NTs * T, CO), jnp.float32),
         jnp.zeros((B, spec.NTs * T, 1), jnp.float32),
@@ -953,8 +1028,18 @@ def _bwd_call(
     w2_shape = (spec.H, spec.C) if spec.CO is None else (spec.H, spec.C, spec.CO)
     b2_shape = (1, spec.C) if spec.CO is None else (spec.C, spec.CO)
     vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    dfeat_init_idx = 4 + 2 * G + 4  # index of the aliased zeros input
     use_v1 = os.environ.get("MCCNN_TILE_BWD_V1") == "1"
+    assert not (use_v1 and spec.pack), "v1 backward has no packed-operand path"
+    if spec.pack:  # smp_pos IS the packed (positions + bf16 dout) buffer
+        R = _pack_rows(Tm, CO)
+        minor_specs = [vm((1, R, LANE), ix_ig(g)) for g in range(G)]
+        minor_ops = [smp_pos] * G
+    else:
+        minor_specs = [vm((1, Tm, LANE), ix_ig(g)) for g in range(G)] + [
+            vm((1, Tm, CO), ix_ig(g)) for g in range(G)
+        ]
+        minor_ops = [smp_pos] * G + [dout] * G
+    dfeat_init_idx = 4 + len(minor_ops) + 4  # index of the aliased zeros
     Q = G * Tm
     scratch = (
         []
@@ -973,8 +1058,7 @@ def _bwd_call(
                 vm((1, 8, T), ix_j),
                 vm((1, T, spec.C), ix_j),
             ]
-            + [vm((1, Tm, LANE), ix_ig(g)) for g in range(G)]
-            + [vm((1, Tm, CO), ix_ig(g)) for g in range(G)]
+            + minor_specs
             + [vm(), vm(), vm(), vm()]
             + [vm((1, T, spec.C), ix_j)],  # zero init for dfeat (aliased)
             out_specs=[
@@ -998,7 +1082,7 @@ def _bwd_call(
         compiler_params=_COMPILER_PARAMS,
     )(
         jb_ids, ib_ids, src_t, src_feat,
-        *([smp_pos] * G), *([dout] * G),
+        *minor_ops,
         w1, b1, w2, b2,
         jnp.zeros((B, spec.NTp * T, spec.C), jnp.float32),
     )
@@ -1060,8 +1144,14 @@ def _core_bwd(spec, res, cts):
     dout_pad = jnp.pad(
         dout[:, : nts_m * Tm], ((0, 0), (0, Tm), (0, 0))
     )
+    if spec.pack:
+        # bf16 here == the kernel's own ivd cast, just moved before the DMA
+        smp_op = _pack_minor(smp_pos_m, dout_pad.astype(FEAT_DTYPE), Tm)
+        dout_pad = None
+    else:
+        smp_op = smp_pos_m
     dfeat, dw1, db1, dw2, db2 = _bwd_call(
-        spec, B, src_t, src_feat_M, smp_pos_m, dout_pad, w1, b1, w2, b2,
+        spec, B, src_t, src_feat_M, smp_op, dout_pad, w1, b1, w2, b2,
         _ids(jb_f), _ids(ib_f),
     )
     # Cotangent of src_feat_M must match its (B, (NTp+1)*T, C) shape; the
@@ -1075,7 +1165,15 @@ def _core_bwd(spec, res, cts):
         db2,
         jnp.zeros((B, spec.NTs * 8, spec.T), jnp.float32),  # smp_t
         jnp.zeros_like(smp_pos_m),
-        jnp.zeros((B, (ntp_m + 1) * Tm, LANE), jnp.float32),  # src_pos_m
+        jnp.zeros(
+            (
+                B,
+                (ntp_m + 1)
+                * (_pack_rows(Tm, spec.C) if spec.pack else Tm),
+                LANE,
+            ),
+            jnp.float32,
+        ),  # src_pos_m (packed records when spec.pack)
         jnp.zeros_like(src_t),
         jnp.zeros(
             (B, (ntp_m + 1) * Tm, spec.C), src_feat_M.dtype
@@ -1243,14 +1341,20 @@ def tile_mc_conv(
     smp_t = transposed_tiles(smp_rows[:, : nts * T], T)  # (B, nts*8, T)
     src_t = transposed_tiles(src_rows[:, : ntp * T], T)  # (B, ntp*8, T)
 
+    pack = (
+        os.environ.get("MCCNN_TILE_PACK", "1") != "0"
+        and os.environ.get("MCCNN_TILE_BWD_V1") != "1"
+        and Tm % 2 == 0
+    )
     spec = _TSpec(
         T=T, C=Cp, CO=COp, H=H, radius=radius, S=S, NTs=nts, NTp=ntp,
         interpret=interpret, G=Gm, Tm=Tm, NTs_m=nts_m, NTp_m=ntp_m,
-        probe=os.environ.get("MCCNN_TILE_PROBE", ""),
+        probe=os.environ.get("MCCNN_TILE_PROBE", ""), pack=pack,
     )
+    src_minor_op = _pack_minor(src_rows_m, wf_m, Tm) if pack else src_rows_m
 
     out_sorted, cnt = _tile_conv_core(
-        spec, w1, b1, w2, b2, smp_t, smp_rows_m, src_rows_m, src_t,
+        spec, w1, b1, w2, b2, smp_t, smp_rows_m, src_minor_op, src_t,
         wf_m, wf_M,
         i_ids.astype(jnp.float32), j_ids.astype(jnp.float32),
         jb_ids.astype(jnp.float32), ib_ids.astype(jnp.float32),

@@ -117,6 +117,32 @@ def _run(tmp_path, budgets, batches, name):
     return out, params
 
 
+def test_spatial_halo_overflow_resizes(tmp_path):
+    """The spatial trainer recovers from halo overflow the same way: a
+    deliberately tiny --halo-cap overflows on the first scene group, the cap
+    grows (logged as a resize event), the step re-runs from the pre-step
+    state, and the run completes with finite loss."""
+    import json
+
+    from mccnn_tpu.tasks import scannet
+
+    res = scannet.main(
+        [
+            "--synthetic", "--spatial-shards", "8", "--points", "2048",
+            "--epochs", "1", "--steps-per-epoch", "2", "--grow", "8",
+            "--halo-cap", "16",
+            "--log-dir", str(tmp_path / "lg"),
+        ]
+    )
+    assert np.isfinite(res["loss"])
+    logs = list((tmp_path / "lg").rglob("*.jsonl"))
+    assert logs
+    events = [json.loads(l) for f in logs for l in f.read_text().splitlines()]
+    resizes = [e for e in events if e.get("tag") == "resize"]
+    assert resizes, "tiny halo cap must trigger at least one resize event"
+    assert all(e["halo_cap"] > 16 for e in resizes)
+
+
 def test_overflow_resizes_and_matches_generous_run(tmp_path):
     b0, b1 = _batches()
     # premise: the dense batch really does exceed batch0-sized budgets
