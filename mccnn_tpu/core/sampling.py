@@ -218,6 +218,7 @@ def count_poisson_sweep_steps(points, mask, radius):
         _needed_steps,
         _refined_adjacency,
         _sorted_tiles,
+        tile_minor,
     )
 
     cell_edge = float(radius) / _SQRT3
@@ -225,10 +226,15 @@ def count_poisson_sweep_steps(points, mask, radius):
     coords = cell_coords(points, cell_edge, res)
     order = _cell_hilbert_order(coords, mask, res)
     N, T = points.shape[1], DEFAULT_TILE
-    nt = -(-N // T)
+    Tm = tile_minor(T)
+    nt, nt_m = -(-N // T), -(-N // Tm)
     rows, _, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
-    adj = _refined_adjacency(rows, mn, mx, rows, mn, mx, T, radius)
-    return _needed_steps(adj, DEFAULT_COVER_CHUNK)
+    if Tm == T:
+        rows_m, mn_m, mx_m = rows, mn, mx
+    else:
+        rows_m, _, mn_m, mx_m = _sorted_tiles(points, mask, order, Tm, nt_m * Tm)
+    adj = _refined_adjacency(rows, mn, mx, rows_m, mn_m, mx_m, T, radius, Tm)
+    return _needed_steps(adj, DEFAULT_COVER_CHUNK * (T // Tm))
 
 
 def _poisson_tiles(

@@ -432,7 +432,11 @@ def poisson_sweep_pallas(
         return (sel[:, :N0, 0] > 0.5) & mask
     if variant.startswith("v4"):
         SB = int(variant[2:] or os.environ.get("MCCNN_POISSON_SB", "4"))
-        if B % SB == 0:
+        # SB=8 holds a 16 MiB (8, N, N) bf16 adjacency + same-sized loop
+        # temps: it fits the 64 MiB scoped budget on paper but sent the
+        # Mosaic compile into a >20 min tailspin on-chip (2026-08-19) — cap
+        # at 4, where compiles are normal.
+        if SB <= 4 and B % SB == 0:
             sel = _call_v4(spec, SB, pos, pos_t, cidf, colf, interpret)
             return (sel[:, :N0, 0] > 0.5) & mask
         variant = "v1"  # batch not foldable: per-item kernel

@@ -1452,21 +1452,28 @@ def tile_kde(
     assert T % LANE == 0
     h = kde_window * float(radius)
     nt = -(-N // T)
+    Tm = tile_minor(T)
+    Gm = chunk * (T // Tm)
+    nt_m = -(-N // Tm)
 
     order = curve_order(points, mask)
     rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
-    adj = _refined_adjacency(rows, mn, mx, rows, mn, mx, T, radius)
-    G = chunk
-    cap = min(max_pairs, nt * nt)
-    S = _steps_for_pairs(cap, G, nt, nt)
+    if Tm == T:
+        rows_m, mn_m, mx_m = rows, mn, mx
+    else:
+        rows_m, _, mn_m, mx_m = _sorted_tiles(points, mask, order, Tm, nt_m * Tm)
+    adj = _refined_adjacency(rows, mn, mx, rows_m, mn_m, mx_m, T, radius, Tm)
+    cap = min(max_pairs, nt * nt_m)
+    S = _steps_for_pairs(cap, Gm, nt, nt_m)
     if max_steps is not None:
         S = min(S, max(int(max_steps), 1))
-    i_ids, j_ids = _chunked_pair_lists(adj, S, G, nt - 1, nt)
-    meta = transposed_tiles(rows, T)  # (B, (nt+1)*8, T) incl. sentinel
+    i_ids, j_ids = _chunked_pair_lists(adj, S, Gm, nt - 1, nt_m)
+    G = Gm
+    meta = transposed_tiles(rows_m, Tm)  # (B, (nt_m+1)*8, Tm) incl. sentinel
 
     spec = _TSpec(
-        T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt,
-        interpret=interpret, G=G,
+        T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt_m,
+        interpret=interpret, G=G, Tm=Tm,
     )
 
     def ix_i(s, i, j):
@@ -1487,7 +1494,7 @@ def tile_kde(
             num_scalar_prefetch=2,
             grid=(B * S,),
             in_specs=[vm((1, T, LANE), ix_i)]
-            + [vm((1, 8, T), ix_mg(g)) for g in range(G)]
+            + [vm((1, 8, Tm), ix_mg(g)) for g in range(G)]
             + [vm((1, T, 1), ix_i)],
             out_specs=vm((1, T, 1), ix_i),
         ),
@@ -1573,10 +1580,10 @@ class TileCoverSweep(NamedTuple):
     order: Array  # (B, N) space-filling-curve argsort
     valid: Array  # (B, nt*T) sorted validity
     rows: Array  # (B, (nt+1)*T, LANE) sorted positions + sentinel tile
-    smp_t: Array  # (B, (nt+1)*8, T) transposed meta incl. sentinel tile
+    smp_t: Array  # (B, (nt_m+1)*8, Tm) transposed MINOR meta incl. sentinel
     i_ids: Array  # (B, S) step-major sample-tile ids
-    j_ids: Array  # (B, G, S) chunked candidate-tile ids (nt = sentinel)
-    spec: _TSpec
+    j_ids: Array  # (B, G, S) chunked candidate-MINOR ids (nt_m = sentinel)
+    spec: _TSpec  # NTp carries the minor-tile count nt_m
     overflow: Array  # (B,) dropped chunked-STEP count (each step carries up
     # to G tile pairs); 0 when max_pairs covers the adjacency
 
@@ -1586,12 +1593,16 @@ class TileCoverSweep(NamedTuple):
         spec = self.spec
         B = flags.shape[0]
         S, T, nt, G = spec.S, spec.T, spec.NTs, spec.G
+        Tm, nt_m = spec.Tm or T, spec.NTp
 
-        meta = self.smp_t.reshape(B, nt + 1, 8, T)
-        f = jnp.pad(flags.reshape(B, nt, T) > 0.0, ((0, 0), (0, 1), (0, 0)))
+        meta = self.smp_t.reshape(B, nt_m + 1, 8, Tm)
+        f = jnp.pad(
+            flags[:, : nt_m * Tm].reshape(B, nt_m, Tm) > 0.0,
+            ((0, 0), (0, 1), (0, 0)),
+        )
         s2 = jnp.where(f[:, :, None, :], meta[:, :, 3:4, :], _FLAG_OFF)
         meta = jnp.concatenate([meta[:, :, :3, :], s2, meta[:, :, 4:, :]], 2)
-        meta = meta.reshape(B, (nt + 1) * 8, T)
+        meta = meta.reshape(B, (nt_m + 1) * 8, Tm)
 
         def ix_i(s, i, j):
             b = jax.lax.div(s, jnp.int32(S))
@@ -1611,7 +1622,7 @@ class TileCoverSweep(NamedTuple):
                 num_scalar_prefetch=2,
                 grid=(B * S,),
                 in_specs=[vm((1, T, LANE), ix_i)]
-                + [vm((1, 8, T), ix_mg(g)) for g in range(G)]
+                + [vm((1, 8, Tm), ix_mg(g)) for g in range(G)]
                 + [vm((1, T, 1), ix_i)],
                 out_specs=vm((1, T, 1), ix_i),
             ),
@@ -1650,22 +1661,28 @@ def make_cover_sweep(
     T = tile
     assert T % LANE == 0
     nt = -(-N // T)
+    Tm = tile_minor(T)
+    Gm = chunk * (T // Tm)
+    nt_m = -(-N // Tm)
     if order is None:
         order = curve_order(points, mask)
     rows, valid, mn, mx = _sorted_tiles(points, mask, order, T, nt * T)
-    adj = _refined_adjacency(rows, mn, mx, rows, mn, mx, T, radius)
-    G = chunk
-    cap = min(max_pairs, nt * nt)
-    S = _steps_for_pairs(cap, G, nt, nt)
+    if Tm == T:
+        rows_m, mn_m, mx_m = rows, mn, mx
+    else:
+        rows_m, _, mn_m, mx_m = _sorted_tiles(points, mask, order, Tm, nt_m * Tm)
+    adj = _refined_adjacency(rows, mn, mx, rows_m, mn_m, mx_m, T, radius, Tm)
+    cap = min(max_pairs, nt * nt_m)
+    S = _steps_for_pairs(cap, Gm, nt, nt_m)
     if max_steps is not None:
         S = min(S, max(int(max_steps), 1))
-    i_ids, j_ids = _chunked_pair_lists(adj, S, G, nt - 1, nt)
-    smp_t = transposed_tiles(rows, T)  # (B, (nt+1)*8, T) incl. sentinel
+    i_ids, j_ids = _chunked_pair_lists(adj, S, Gm, nt - 1, nt_m)
+    smp_t = transposed_tiles(rows_m, Tm)  # (B, (nt_m+1)*8, Tm) incl. sentinel
     spec = _TSpec(
-        T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt,
-        interpret=interpret, G=G,
+        T=T, C=LANE, CO=None, H=0, radius=radius, S=S, NTs=nt, NTp=nt_m,
+        interpret=interpret, G=Gm, Tm=Tm,
     )
-    need = _needed_steps(adj, G)
+    need = _needed_steps(adj, Gm)
     return TileCoverSweep(
         order=order, valid=valid, rows=rows, smp_t=smp_t, i_ids=i_ids,
         j_ids=j_ids, spec=spec, overflow=jnp.maximum(need - S, 0),

@@ -74,14 +74,21 @@ def main():
         cids = linear_cell_ids(coords, res)
         colors = cell_color27(coords)
         ref = np.asarray(poisson_sweep_pallas(pts, mask, cids, colors, r))
-        for v in ("v42", "v44", "v48"):
+        for v in ("v42", "v44"):
             os.environ["MCCNN_POISSON_SWEEP"] = v
-            out = np.asarray(poisson_sweep_pallas(pts, mask, cids, colors, r))
-            ok = np.array_equal(ref, out)
-            os.environ.pop("MCCNN_POISSON_SWEEP", None)
-            print(f"B={B} N={N} r={r} {v}: selections equal={ok}", flush=True)
+            try:
+                out = np.asarray(
+                    poisson_sweep_pallas(pts, mask, cids, colors, r)
+                )
+                ok = np.array_equal(ref, out)
+                print(f"B={B} N={N} r={r} {v}: selections equal={ok}",
+                      flush=True)
+            except Exception as e:
+                print(f"B={B} N={N} r={r} {v}: check FAILED {e!r}", flush=True)
+            finally:
+                os.environ.pop("MCCNN_POISSON_SWEEP", None)
 
-        for v in ("v1", "v42", "v44", "v48"):
+        for v in ("v1", "v42", "v44"):
             try:
                 dt = bench_sweep(B, N, r, v)
                 print(f"B={B} N={N} r={r} {v}: {dt*1e3:7.3f} ms", flush=True)
