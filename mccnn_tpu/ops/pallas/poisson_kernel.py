@@ -426,6 +426,11 @@ def poisson_sweep_pallas(
     #      N=1024. Kept behind MCCNN_POISSON_SWEEP=v3: its window strips are
     #      the only variant whose VMEM and work scale subquadratically, so it
     #      is the starting point if MAX_N is ever raised past 1024.
+    #   v4 batch-folded (SB, N, N) color steps (round 5): 0.586 ms at SB=2,
+    #      0.758 at SB=4 vs v1's 0.316 — 1.9-2.4x SLOWER: Mosaic unrolls
+    #      leading-dim-stacked 3-D ops, so the fold never reduces real issue
+    #      count while its dual-domain relayouts add passes. With v2/v3 this
+    #      closes the small-N sweep on every named axis (docs/ROOFLINE.md).
     variant = os.environ.get("MCCNN_POISSON_SWEEP", "v1")
     if variant == "v2":
         sel = call_v1(_sweep_kernel_v2, pos, pos_t, cidf, colf)
