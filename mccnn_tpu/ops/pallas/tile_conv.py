@@ -98,12 +98,13 @@ class _TSpec(NamedTuple):
     # and per-major output accumulation is unchanged. 0 => Tm = T.
     NTs_m: int = 0  # sample minor tiles (excl. sentinel); 0 => NTs * T / Tm
     NTp_m: int = 0  # source minor tiles (excl. sentinel)
-    pack: bool = False  # fuse each minor tile's positions + bf16 payload
-    # (features fwd / out-cotangent bwd) into ONE (Tm + nc*Tm/2, 128) f32
-    # record per candidate — HALF the DMA issues per step. The round-5
-    # roofline probes showed the Tm=32 kernel is DMA-ISSUE-bound (fwd noop =
-    # 56 % of fwd at 64 block fetches/step). MCCNN_TILE_PACK=0 restores
-    # separate operands (A/B hook).
+    pack: bool = False  # OPT-IN (MCCNN_TILE_PACK=1): fuse each minor tile's
+    # positions + bf16 payload (features fwd / out-cotangent bwd) into ONE
+    # (Tm + nc*Tm/2, 128) f32 record per candidate — HALF the DMA issues per
+    # step, targeting the round-5 roofline finding that the Tm=32 kernel is
+    # DMA-ISSUE-bound (fwd noop = 56 % of fwd at 64 block fetches/step).
+    # Bitwise-exact, but Mosaic compiles of the packed kernels took >25 min
+    # on the 32k config (2026-08-19) — kept opt-in until a future compiler.
 
 
 # ----------------------------------------------------------------------------
@@ -1341,8 +1342,12 @@ def tile_mc_conv(
     smp_t = transposed_tiles(smp_rows[:, : nts * T], T)  # (B, nts*8, T)
     src_t = transposed_tiles(src_rows[:, : ntp * T], T)  # (B, ntp*8, T)
 
+    # OPT-IN (MCCNN_TILE_PACK=1): halves DMA issues and is bitwise-exact,
+    # but the packed kernels sent the Mosaic compile into a >25 min tailspin
+    # on the 32k bench config (2026-08-19) — unusable as a default until a
+    # future Mosaic digests the bitcast+concat pattern.
     pack = (
-        os.environ.get("MCCNN_TILE_PACK", "1") != "0"
+        os.environ.get("MCCNN_TILE_PACK") == "1"
         and os.environ.get("MCCNN_TILE_BWD_V1") != "1"
         and Tm % 2 == 0
     )
