@@ -69,8 +69,12 @@ DEFAULT_CHUNK = 8
 # pair planes keep their (G*Tm, T) lane-128 shape and output accumulation is
 # untouched. Tighter minor boxes prune candidate points the T-granularity
 # test cannot (32k bench scene, host-counted: Tm=64 -> -25 % candidate work,
-# Tm=32 -> -40 %). Set by the round-5 on-chip A/B (tools/exp_tile_minor.py).
-DEFAULT_MINOR = 128
+# Tm=32 -> -40 %). Round-5 on-chip A/B (tools/exp_tile_minor.py): Tm=32 wins
+# at 5.74 ms/layer vs 7.54 (Tm=128) and 7.77 (Tm=64) — DMA-count growth eats
+# the Tm=64 saving, Tm=16 regresses (128 fetches/step). At quantization-
+# bound small sites Tm=32 pads to the same slot-point count as Tm=128, so
+# the global default is safe (tests cover both granularities).
+DEFAULT_MINOR = 32
 
 
 class _TSpec(NamedTuple):
@@ -1151,6 +1155,11 @@ def _core_bwd(spec, res, cts):
         dout_pad = None
     else:
         smp_op = smp_pos_m
+        if os.environ.get("MCCNN_TILE_BWD_V1") != "1":
+            # v2 backward consumes the cotangent as bf16 (ivd) anyway:
+            # casting before the DMA halves its bytes, value-identical.
+            # (v1 keeps f32 — its dw2/dfeat math multiplies dout directly.)
+            dout_pad = dout_pad.astype(FEAT_DTYPE)
     dfeat, dw1, db1, dw2, db2 = _bwd_call(
         spec, B, src_t, src_feat_M, smp_op, dout_pad, w1, b1, w2, b2,
         _ids(jb_f), _ids(ib_f),
