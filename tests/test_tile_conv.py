@@ -112,6 +112,29 @@ def test_tile_conv_minor_granularity_cross_set(rng, minor):
         )
 
 
+def test_tile_conv_packed_records_bitwise(rng, monkeypatch):
+    """Opt-in packed minor records (MCCNN_TILE_PACK=1): one f32 record per
+    candidate fusing positions + bitcast-bf16 payload. Forward and grads
+    must be BITWISE equal to the unpacked kernel (the bf16 cotangent cast is
+    the kernel's own ivd cast moved before the DMA)."""
+    src, smp, feats, smask, qmask, pdf = setup(rng)
+    radius = 0.25
+    params = init_mcconv_params(jax.random.PRNGKey(1), feats.shape[-1], None)
+
+    def loss(f):
+        o = tile_mc_conv(
+            params, smp, qmask, src, smask, f, pdf, radius,
+            max_pairs=1 << 30, tile=TILE, minor=32, interpret=True,
+        )
+        return jnp.sum(o * o), o
+
+    (_, ref), gref = loss(feats), jax.grad(lambda f: loss(f)[0])(feats)
+    monkeypatch.setenv("MCCNN_TILE_PACK", "1")
+    (_, got), gpack = loss(feats), jax.grad(lambda f: loss(f)[0])(feats)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(gpack), np.asarray(gref))
+
+
 @pytest.mark.parametrize("chunk", [1, 3])
 def test_tile_conv_grads_match_reference(rng, chunk):
     src, smp, feats, smask, qmask, pdf = setup(rng)
