@@ -230,14 +230,27 @@ class Runner:
         )
         self._train_step = jax.jit(step, out_shardings=(repl, repl))
 
+        import jax.numpy as jnp
+
         from ..train.state import _model_args
 
         def eval_apply(state: TrainState, batch: dict):
-            return model.apply(
+            # mutable diagnostics so tile-capacity overflow is visible in
+            # eval too (it would otherwise be dropped silently — a denser
+            # eval scene must trigger the same resize path as training)
+            out, updates = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 *_model_args(batch),
                 train=False,
+                mutable=["diagnostics"],
             )
+            diag = jax.tree.leaves(dict(updates).get("diagnostics", {}))
+            ovf = (
+                jnp.max(jnp.stack([jnp.max(d) for d in diag]))
+                if diag
+                else jnp.zeros((), jnp.int32)
+            )
+            return out, ovf
 
         self._eval_apply = jax.jit(eval_apply)
 
@@ -383,7 +396,22 @@ class Runner:
 
     def eval_logits(self, batch: dict):
         padded, b = self._pad_eval_batch(batch)
-        out = self._eval_apply(self.state, self.shard(padded))
+        out, ovf = self._eval_apply(self.state, self.shard(padded))
+        attempts = 0
+        while float(ovf) > 0:  # denser eval scene: same recovery as training
+            if attempts >= 3:
+                raise RuntimeError(
+                    f"tile capacity overflow persists in eval after "
+                    f"{attempts} re-sizes ({float(ovf):.0f} dropped steps)."
+                )
+            attempts += 1
+            event = self._resize_tile_capacity(padded)
+            self.metrics.log(
+                int(jax.device_get(self.state.step)), tag="resize",
+                tile_overflow=float(ovf), attempt=attempts, phase="eval",
+                **event,
+            )
+            out, ovf = self._eval_apply(self.state, self.shard(padded))
         return jax.tree.map(lambda x: x[:b], out)
 
     def save(self, epoch: int) -> None:

@@ -117,6 +117,27 @@ def _run(tmp_path, budgets, batches, name):
     return out, params
 
 
+def test_eval_overflow_resizes(tmp_path):
+    """Eval-time overflow is no longer silent: a denser eval scene grows the
+    budgets (diagnostics are mutable in eval) and the logits match a
+    generously-sized run bitwise."""
+    b0, b1 = _batches()
+    site = ("conv", 0, 0, RADIUS)
+    tight = auto_tile_steps(TinyTile(), b0["points"], b0["mask"])
+    r = Runner(_args(tmp_path), TinyTile(tile_steps=tight), _loss, b0, "ev_s")
+    logits = r.eval_logits(b1)
+    assert r.model.tile_steps[site] > tight[site]  # a resize happened
+    d1 = int(count_tile_steps(b1["points"], b1["mask"], b1["points"],
+                              b1["mask"], RADIUS).max())
+    generous = {site: -(-int(d1 * 1.3 + 1) // 16) * 16}
+    r2 = Runner(_args(tmp_path), TinyTile(tile_steps=generous), _loss, b0,
+                "ev_g")
+    logits2 = r2.eval_logits(b1)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits2))
+    r.close()
+    r2.close()
+
+
 def test_spatial_halo_overflow_resizes(tmp_path):
     """The spatial trainer recovers from halo overflow the same way: a
     deliberately tiny --halo-cap overflows on the first scene group, the cap
