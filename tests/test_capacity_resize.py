@@ -16,7 +16,7 @@ import flax.linen as nn
 
 from mccnn_tpu.core.mcconv import MCConvParams
 from mccnn_tpu.ops.pallas.tile_conv import count_tile_steps, tile_mc_conv
-from mccnn_tpu.tasks.common import Runner, auto_tile_steps, base_parser
+from mccnn_tpu.tasks.common import Runner, base_parser
 from mccnn_tpu.train.losses import classification_loss
 
 RADIUS = 0.25
@@ -121,14 +121,12 @@ def test_eval_overflow_resizes(tmp_path):
     """Eval-time overflow is no longer silent: a denser eval scene grows the
     budgets (diagnostics are mutable in eval) and the logits match a
     generously-sized run bitwise."""
-    b0, b1 = _batches()
+    b0, b1, d0, d1 = _demands()
     site = ("conv", 0, 0, RADIUS)
-    tight = auto_tile_steps(TinyTile(), b0["points"], b0["mask"])
+    tight = {site: d0}
     r = Runner(_args(tmp_path), TinyTile(tile_steps=tight), _loss, b0, "ev_s")
     logits = r.eval_logits(b1)
     assert r.model.tile_steps[site] > tight[site]  # a resize happened
-    d1 = int(count_tile_steps(b1["points"], b1["mask"], b1["points"],
-                              b1["mask"], RADIUS).max())
     generous = {site: -(-int(d1 * 1.3 + 1) // 16) * 16}
     r2 = Runner(_args(tmp_path), TinyTile(tile_steps=generous), _loss, b0,
                 "ev_g")
@@ -164,16 +162,25 @@ def test_spatial_halo_overflow_resizes(tmp_path):
     assert all(e["halo_cap"] > 16 for e in resizes)
 
 
-def test_overflow_resizes_and_matches_generous_run(tmp_path):
+def _demands():
+    """(batch0, batch1, d0, d1): measured chunked-step demands at the
+    ACTIVE minor granularity — the budgets below derive from these so the
+    test premise (batch1 overflows a batch0-sized budget) holds at any
+    ``DEFAULT_MINOR``."""
     b0, b1 = _batches()
-    # premise: the dense batch really does exceed batch0-sized budgets
     d0 = int(count_tile_steps(b0["points"], b0["mask"], b0["points"],
                               b0["mask"], RADIUS).max())
     d1 = int(count_tile_steps(b1["points"], b1["mask"], b1["points"],
                               b1["mask"], RADIUS).max())
-    tight = auto_tile_steps(TinyTile(), b0["points"], b0["mask"])
+    assert d1 > d0, (d0, d1)
+    return b0, b1, d0, d1
+
+
+def test_overflow_resizes_and_matches_generous_run(tmp_path):
+    b0, b1, d0, d1 = _demands()
     site = ("conv", 0, 0, RADIUS)
-    assert d1 > tight[site] >= d0, (d0, tight[site], d1)
+    # budget sized exactly for batch0: batch1 must overflow it
+    tight = {site: d0}
 
     out_small, params_small = _run(tmp_path, tight, [b0, b1], "small")
     assert out_small["capacity_resizes"] >= 1

@@ -124,16 +124,25 @@ def test_runner_auto_sizes_tile_pairs(rng):
     model = MCSeg(n_classes=4, grow=8, radii=(0.05, 0.15))
     sized = maybe_auto_tile_pairs(model, batch)
     assert sized.tile_pairs is not None and sized.tile_pairs > 0
-    # consistency: at least the lossless count, with headroom, 256-rounded
-    from mccnn_tpu.ops.pallas import count_tile_pairs
-
-    true = int(
-        count_tile_pairs(
-            jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]),
-            jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]), 0.1,
-        ).max()
+    # consistency: the STEP budget the kernel derives from the sized
+    # capacity covers the measured chunked-step demand with headroom
+    # (auto_tile_pairs sizes from demand, not the worst-case pair count)
+    from mccnn_tpu.ops.pallas import count_tile_steps
+    from mccnn_tpu.ops.pallas.tile_conv import (
+        DEFAULT_CHUNK,
+        DEFAULT_TILE,
+        _steps_for_pairs,
+        tile_minor,
     )
-    assert sized.tile_pairs >= true
+
+    pts = jnp.asarray(batch["points"])
+    msk = jnp.asarray(batch["mask"])
+    need = int(count_tile_steps(pts, msk, pts, msk, 0.1).max())
+    gm = DEFAULT_CHUNK * (DEFAULT_TILE // tile_minor(DEFAULT_TILE))
+    nt = -(-N // DEFAULT_TILE)
+    nt_m = -(-N // tile_minor(DEFAULT_TILE))
+    s_budget = _steps_for_pairs(sized.tile_pairs, gm, nt, nt_m)
+    assert s_budget >= need
     assert sized.tile_pairs % 256 == 0
 
     # small N: untouched
