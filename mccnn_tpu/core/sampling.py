@@ -71,7 +71,12 @@ class SampleSet(NamedTuple):
     overflow: Array | None = None
 
 
-DENSE_SAMPLER_MAX_N = 4096  # above this the O(N^2) adjacency gets too big
+DENSE_SAMPLER_MAX_N = 4096  # dense O(N^2) ceiling (the capacity-free fallback)
+# Above this the tile cover-sweep beats the dense sampler WHEN the caller has
+# a tile capacity (on-chip A/B 2026-08-20, docs/ROOFLINE.md: at N=4096 tiles
+# win 7.7 vs 12.9 ms B=8 and 1.02 vs 1.18 ms B=1; at N=2048 dense wins 2.1 vs
+# 4.4 ms — the crossover sits between).
+TILE_SAMPLER_MIN_N = 2048
 
 
 def poisson_disk(
@@ -103,13 +108,15 @@ def poisson_disk(
         when the caller has a capacity (see api/hierarchy.py).
       interpret: run the tile sweeps in interpret mode (tests).
 
-    Three implementations of the same 27-color algorithm:
-      * N <= DENSE_SAMPLER_MAX_N: dense (B, N, N) adjacency masked-reduce —
-        no gathers, no segment ops; on TPU each color step is a couple of
-        fused VPU passes (~200x faster than the gather formulation).
-      * larger N + ``tile_pairs``: Morton-tile cover sweeps (exact).
-      * larger N otherwise: neighbor-list formulation (K-capacity gathers
-        per step; coverage can be under-reported past K).
+    Four implementations of the same 27-color algorithm:
+      * N <= 1024 on TPU: fully fused on-chip sweep kernel.
+      * N > TILE_SAMPLER_MIN_N with ``tile_pairs``: Hilbert-tile cover
+        sweeps (exact; beats dense above ~2k, on-chip A/B r5).
+      * N <= DENSE_SAMPLER_MAX_N otherwise: dense (B, N, N) adjacency
+        masked-reduce — no gathers, no segment ops; on TPU each color step
+        is a couple of fused VPU passes (~200x faster than gathers).
+      * larger N without a capacity: neighbor-list formulation (K-capacity
+        gathers per step; coverage can be under-reported past K).
     """
     B, N, _ = points.shape
 
@@ -128,13 +135,13 @@ def poisson_disk(
         from ..ops.pallas.poisson_kernel import poisson_sweep_pallas
 
         selected = poisson_sweep_pallas(points, mask, cids, colors, radius)
-    elif N <= DENSE_SAMPLER_MAX_N:
-        selected = _poisson_dense(points, mask, cids, colors, radius)
-    elif tile_pairs is not None:
+    elif tile_pairs is not None and N > TILE_SAMPLER_MIN_N:
         selected, overflow = _poisson_tiles(
             points, mask, coords, cids, colors, radius, res, tile_pairs,
             interpret, max_steps=max_steps,
         )
+    elif N <= DENSE_SAMPLER_MAX_N:
+        selected = _poisson_dense(points, mask, cids, colors, radius)
     else:
         if neighborhood is None:
             neighborhood = self_neighbors(points, mask, radius, k)

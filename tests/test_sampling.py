@@ -203,3 +203,46 @@ def test_poisson_sweep_pallas_kernels_match_dense(rng):
             & tmask
         )
     np.testing.assert_array_equal(got_t, want_t, err_msg="v3 fallback")
+
+
+def test_midband_dispatch(rng, monkeypatch):
+    """Backend routing at the r5-measured crossover (docs/ROOFLINE.md,
+    on-chip A/B 2026-08-20): N=2048 stays dense even when a tile capacity
+    is available; N=4096 WITH a capacity routes to the tile cover-sweep
+    (tiles win 7.7 vs 12.9 ms at B=8); N=4096 without one keeps the
+    capacity-free dense fallback; bigger capacity-free levels fall back to
+    neighbor lists."""
+    import mccnn_tpu.core.sampling as samp
+
+    calls = []
+
+    def fake_dense(points, mask, cids, colors, radius):
+        calls.append("dense")
+        return jnp.zeros(points.shape[:2], bool)
+
+    def fake_tiles(points, mask, coords, cids, colors, radius, res,
+                   tile_pairs, interpret, max_steps=None):
+        calls.append("tiles")
+        return (
+            jnp.zeros(points.shape[:2], bool),
+            jnp.zeros((points.shape[0],), jnp.int32),
+        )
+
+    def fake_nbr(cids, colors, mask, neighborhood, n_cells, N):
+        calls.append("nbr")
+        return jnp.zeros(mask.shape, bool)
+
+    monkeypatch.setattr(samp, "_poisson_dense", fake_dense)
+    monkeypatch.setattr(samp, "_poisson_tiles", fake_tiles)
+    monkeypatch.setattr(samp, "_poisson_neighbor_lists", fake_nbr)
+
+    def run(N, tile_pairs):
+        pts = jnp.asarray(rng.uniform(0, 1, (1, N, 3)).astype(np.float32))
+        mask = jnp.ones((1, N), bool)
+        samp.poisson_disk(pts, mask, 0.1, 64, tile_pairs=tile_pairs, k=4)
+        return calls.pop()
+
+    assert run(2048, 1 << 16) == "dense"
+    assert run(4096, 1 << 16) == "tiles"
+    assert run(4096, None) == "dense"
+    assert run(8192, None) == "nbr"
