@@ -57,3 +57,17 @@ def random_point_dropout(
     out = points.copy()
     out[drop] = points[0]
     return out
+
+
+def batch_point_dropout(
+    points: np.ndarray, rng: np.random.Generator, max_ratio=0.3
+) -> np.ndarray:
+    """Vectorized ``random_point_dropout`` over a (B, N, 3) batch with an
+    independent drop ratio per element (the post-assembly form used after
+    the native C++ pipeline, which returns the whole batch at once)."""
+    B, N = points.shape[:2]
+    ratio = rng.uniform(0.0, max_ratio, size=(B, 1))
+    drop = rng.random((B, N)) < ratio
+    out = points.copy()
+    out[drop] = np.repeat(points[:, 0:1], N, axis=1)[drop]
+    return out

@@ -74,7 +74,13 @@ class ClassificationSource:
         train_augment: bool = False,
         protocol: str = "uniform",
         drop_remainder: bool = True,
+        pt_drop_max: float = 0.0,
     ) -> Iterator[dict]:
+        """``pt_drop_max`` > 0 applies the reference's ptDropOut-style
+        augmentation when ``train_augment`` (a random fraction of each cloud
+        collapsed onto its first point — density-robustness training; the
+        reference's DataSet applies it for ModelNet, SURVEY §2.2). Applied
+        after normalization, identically on both host pipelines."""
         order = np.arange(len(self.clouds))
         if shuffle:
             rng.shuffle(order)
@@ -99,6 +105,10 @@ class ClassificationSource:
                     augment=train_augment,
                 )
                 if pts is not None:
+                    if train_augment and pt_drop_max > 0.0:
+                        pts = augment.batch_point_dropout(
+                            pts, rng, max_ratio=pt_drop_max
+                        )
                     yield {
                         "points": pts,
                         "mask": np.ones((len(chunk), n_points), bool),
@@ -116,7 +126,12 @@ class ClassificationSource:
                     p = augment.rotate_z(p, rng)
                     p = augment.jitter(p, rng)
                     p = augment.anisotropic_scale(p, rng)
-                pts_b.append(_normalize_np(p))
+                p = _normalize_np(p)
+                if train_augment and pt_drop_max > 0.0:
+                    p = augment.random_point_dropout(
+                        p, rng, max_ratio=pt_drop_max
+                    )
+                pts_b.append(p)
                 mask_b.append(np.ones(n_points, bool))
                 lab_b.append(self.labels[i])
             yield {

@@ -38,6 +38,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--grow", type=int, default=None, help="model width knob")
     p.add_argument(
+        "--pt-drop-max",
+        type=float,
+        default=0.0,
+        help="train-time point-dropout augmentation: per-cloud drop ratio "
+        "drawn from U(0, this) (the reference's ptDropOut; classification "
+        "tasks default it on — density/occlusion robustness)",
+    )
+    p.add_argument(
         "--bn-decay-steps",
         type=int,
         default=None,

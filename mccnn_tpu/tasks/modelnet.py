@@ -113,12 +113,18 @@ def main(argv=None):
     p.add_argument("--model", default="MCClassS", choices=sorted(MODELS))
     p.add_argument("--votes", type=int, default=1, help="eval voting rounds")
     p.add_argument("--n-classes", type=int, default=None)
+    # classification trains with ptDropOut on by default (reference DataSet)
+    p.set_defaults(pt_drop_max=0.3)
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     if args.synthetic:
         n_classes = args.n_classes or 6
-        train_src = SyntheticSource(max(args.batch * 4, 64), n_classes, args.seed)
+        # size the procedural set so --steps-per-epoch is actually reachable
+        # (r5 parity calibration: 64 models at batch 16 capped epochs at 4
+        # steps no matter the flag)
+        n_train = max(args.batch * 4, args.batch * (args.steps_per_epoch or 0), 64)
+        train_src = SyntheticSource(n_train, n_classes, args.seed)
         test_src = SyntheticSource(max(args.batch * 2, 32), n_classes, args.seed + 1)
     else:
         train_src = datasets.load_modelnet40(args.data, "train")
@@ -145,6 +151,7 @@ def main(argv=None):
             rng,
             train_augment=True,
             protocol=args.protocol,
+            pt_drop_max=args.pt_drop_max,
         )
         runner.train_epoch(batches, epoch)
         if (epoch + 1) % args.eval_every == 0:

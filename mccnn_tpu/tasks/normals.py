@@ -122,7 +122,9 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     if args.synthetic:
-        train_src = NormalsSource.synthetic(max(args.batch * 4, 64), args.seed)
+        # size the procedural set so --steps-per-epoch is actually reachable
+        n_train = max(args.batch * 4, args.batch * (args.steps_per_epoch or 0), 64)
+        train_src = NormalsSource.synthetic(n_train, args.seed)
         test_src = NormalsSource.synthetic(max(args.batch * 2, 32), args.seed + 1)
     else:
         train_src = NormalsSource.from_modelnet(args.data, "train")

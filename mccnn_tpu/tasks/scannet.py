@@ -635,6 +635,13 @@ def main(argv=None):
         return res
 
     best = 0.0
+    # Blocks are drawn with replacement, so the scene count does not bound an
+    # epoch: honor --steps-per-epoch by drawing enough blocks for it (the r5
+    # parity calibration found 8 synthetic scenes silently capping epochs at
+    # ONE step regardless of the flag).
+    blocks_per_epoch = args.blocks_per_epoch
+    if blocks_per_epoch is None and args.steps_per_epoch:
+        blocks_per_epoch = args.batch * args.steps_per_epoch
     for epoch in range(runner.start_epoch, args.epochs):
         batches = train_src.batches(
             args.batch,
@@ -642,7 +649,7 @@ def main(argv=None):
             rng,
             train_augment=True,
             protocol=args.protocol,
-            blocks_per_epoch=args.blocks_per_epoch,
+            blocks_per_epoch=blocks_per_epoch,
         )
         runner.train_epoch(batches, epoch)
         if (epoch + 1) % args.eval_every == 0:

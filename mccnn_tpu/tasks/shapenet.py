@@ -81,7 +81,9 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     if args.synthetic:
-        train_src = SyntheticSegSource(max(args.batch * 4, 64), args.n_parts or 4, 16, args.seed)
+        # size the procedural set so --steps-per-epoch is actually reachable
+        n_train = max(args.batch * 4, args.batch * (args.steps_per_epoch or 0), 64)
+        train_src = SyntheticSegSource(n_train, args.n_parts or 4, 16, args.seed)
         test_src = SyntheticSegSource(max(args.batch * 2, 32), args.n_parts or 4, 16, args.seed + 1)
     else:
         train_src = datasets.load_shapenet_part(args.data, "train")

@@ -76,3 +76,43 @@ def test_synthetic_classes_distinct(rng):
     assert labels2.max() < 4
     p, n = synthetic.normals_batch(rng, 2, 64)
     np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_point_dropout_wiring(rng):
+    """ptDropOut augmentation: dropped points collapse onto point 0, batched
+    and per-cloud forms agree in semantics, and ClassificationSource applies
+    it only when train_augment + pt_drop_max are set."""
+    from mccnn_tpu.data import datasets
+
+    pts = rng.uniform(-1, 1, (4, 128, 3)).astype(np.float32)
+    out = augment.batch_point_dropout(pts, np.random.default_rng(0), 0.9)
+    for b in range(4):
+        moved = ~np.all(out[b] == pts[b], axis=-1)
+        assert np.all(out[b][moved] == out[b, 0]), "drops must land on pt 0"
+    # statistical: E[drop fraction] = max_ratio/2 per cloud
+    big = rng.uniform(-1, 1, (64, 512, 3)).astype(np.float32)
+    ob = augment.batch_point_dropout(big, np.random.default_rng(1), 0.5)
+    frac = (~np.all(ob == big, axis=-1)).mean()
+    assert 0.1 < frac < 0.4, frac
+
+    clouds = [rng.uniform(-1, 1, (600, 3)).astype(np.float32) for _ in range(8)]
+    src = datasets.ClassificationSource(
+        clouds, [None] * 8, np.zeros(8, np.int32), ["a"]
+    )
+    import os
+
+    os.environ["MCCNN_HOST_PIPE"] = "numpy"
+    try:
+        get = lambda **kw: next(
+            src.batches(8, 256, np.random.default_rng(7), **kw)
+        )["points"]
+        plain = get(train_augment=False)
+        assert np.array_equal(plain, get(train_augment=False, pt_drop_max=0.9))
+        aug = get(train_augment=True, pt_drop_max=0.999)
+        # with ratio ~U(0,1) per cloud, some cloud has many duplicate rows
+        dups = max(
+            (256 - len(np.unique(aug[b], axis=0))) for b in range(8)
+        )
+        assert dups > 10
+    finally:
+        del os.environ["MCCNN_HOST_PIPE"]

@@ -335,3 +335,9 @@ def test_parity_protocol_sweep(tmp_path):
     assert 0.0 <= v["uniform_accuracy"] <= 1.0
     assert isinstance(v["pass"], bool) and v["proxy"] is True
     assert v["worst_degradation"] <= 1.0
+    # occlusion rides its own gate (defaults to --max-degradation) and the
+    # density-protocol worst excludes it
+    assert v["max_degradation_occlusion"] == 1.0
+    assert v["worst_density_degradation"] == max(
+        d for k, d in v["deltas"].items() if k != "occlusion"
+    )
