@@ -107,5 +107,77 @@ def main():
         )
 
 
+def check():
+    """--check: boundary analysis of any equal=False configs (r5 found two).
+
+    Re-runs the tile sampler with (a) the tool's crude tile_pairs sizing and
+    (b) a lossless budget, printing overflow + equality vs dense each time;
+    residual mismatches get a boundary analysis — for each differing point,
+    the distance to the nearest selected point in the OTHER selection,
+    relative to the radius (|d - r| ~ ulp => dense-matmul-vs-kernel-per-axis
+    f32 rounding on the disk boundary, not a coverage bug)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu.core.grid import (
+        cell_color27, cell_coords, grid_res_for_radius, linear_cell_ids,
+    )
+    from mccnn_tpu.core.sampling import (
+        _SQRT3, _poisson_dense, _poisson_tiles, count_poisson_sweep_steps,
+    )
+
+    configs = [(8, 2048, 0.1), (1, 2048, 0.1), (8, 4096, 0.07),
+               (1, 4096, 0.07), (8, 2048, 0.05), (8, 4096, 0.035)]
+    failing = {(8, 4096, 0.07), (8, 2048, 0.05)}  # r5 measured
+
+    rng = np.random.default_rng(0)  # the tool's exact rng stream
+    for B, N, radius in configs:
+        pts = jnp.asarray(rng.uniform(0, 1, (B, N, 3)).astype(np.float32))
+        if (B, N, radius) not in failing:
+            continue
+        mask = jnp.ones((B, N), bool)
+        cell_edge = float(radius) / _SQRT3
+        res = grid_res_for_radius(radius, cell_scale=1.0 / _SQRT3)
+        coords = cell_coords(pts, cell_edge, res)
+        cids = linear_cell_ids(coords, res)
+        colors = cell_color27(coords)
+
+        d_sel = np.asarray(_poisson_dense(pts, mask, cids, colors, radius))
+        steps = int(np.asarray(count_poisson_sweep_steps(pts, mask, radius)).max())
+        nt, nt_m = -(-N // 128), -(-N // 32)
+
+        for label, tile_pairs, max_steps in [
+            ("tool  (steps*8)", steps * 8, steps),
+            ("lossless", nt * nt_m, steps),
+        ]:
+            sel, ovf = _poisson_tiles(
+                pts, mask, coords, cids, colors, radius, res, tile_pairs,
+                False, max_steps=max_steps,
+            )
+            sel = np.asarray(sel)
+            ovf = int(np.asarray(ovf).max())
+            eq = bool((sel == d_sel).all())
+            print(f"B={B} N={N} r={radius} [{label}]: overflow={ovf} "
+                  f"equal={eq} n_sel_tile={sel.sum()} "
+                  f"n_sel_dense={d_sel.sum()}", flush=True)
+            if not eq and ovf == 0:
+                pts_np = np.asarray(pts)
+                diff_b, diff_i = np.nonzero(sel != d_sel)
+                print(f"  {len(diff_b)} differing points; boundary analysis "
+                      f"(first 8):", flush=True)
+                for b, i in list(zip(diff_b, diff_i))[:8]:
+                    p = pts_np[b, i]
+                    for name, other in [("dense", d_sel), ("tile", sel)]:
+                        osel = other[b].copy()
+                        osel[i] = False
+                        if not osel.any():
+                            continue
+                        d = np.sqrt(((pts_np[b][osel] - p) ** 2).sum(-1)).min()
+                        print(f"    b={b} i={i} "
+                              f"sel_dense={bool(d_sel[b, i])} "
+                              f"nearest {name}-selected: d={d:.9f} "
+                              f"d-r={d - radius:+.3e}", flush=True)
+    print("done", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    check() if "--check" in sys.argv else main()
