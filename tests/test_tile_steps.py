@@ -141,7 +141,9 @@ def test_poisson_tile_sweep_exact_under_measured_budget(monkeypatch):
     r = 0.15
     oracle = samp.poisson_disk(pts, mask, r, 256)
     need = int(np.asarray(samp.count_poisson_sweep_steps(pts, mask, r)).max())
-    monkeypatch.setattr(samp, "DENSE_SAMPLER_MAX_N", 0)
+    # Force the tile cover-sweep branch at this small N (production routes
+    # N <= TILE_SAMPLER_MIN_N to the dense sweep — the r5 mid-band A/B).
+    monkeypatch.setattr(samp, "TILE_SAMPLER_MIN_N", 0)
     got = samp.poisson_disk(
         pts, mask, r, 256, tile_pairs=1 << 30, max_steps=need, interpret=True
     )
