@@ -165,3 +165,32 @@ def test_site_steps_lookup_rounds_radius():
     assert cache.site_steps("conv", 0, 0, 0.12 + 1e-9) == 128
     assert cache.site_steps("conv", 0, 1, 0.12) is None
     assert builder_mod.SpatialCache(h).site_steps("conv", 0, 0, 0.12) is None
+
+
+def test_cover_sweep_counts_invariant_across_major_tile():
+    """``TileCoverSweep.counts`` is exact at ANY major tile size: in-radius
+    flagged-candidate counts are integer-identical between tile=128 and
+    tile=256 (the round-5 major-tile A/B relied on this invariance —
+    tools/exp_cover_tile.py; candidates ride Tm minors independent of T)."""
+    from mccnn_tpu.ops.pallas.tile_conv import make_cover_sweep
+
+    pts, mask = _scene(n=512)
+    r = 0.2
+    fl = jnp.asarray(
+        np.random.default_rng(3).random(512) < 0.1, jnp.float32
+    )[None]
+    counts = {}
+    for tile in (128, 256):
+        sweep = make_cover_sweep(
+            pts, mask, r, max_pairs=1 << 30, tile=tile, interpret=True
+        )
+        # compare in the ORIGINAL point domain (sorted domains differ per T
+        # only by padding; order itself is shared)
+        c_sorted = np.asarray(sweep.counts(
+            jnp.take_along_axis(fl, sweep.order, axis=1)))
+        order = np.asarray(sweep.order)[0]
+        c = np.zeros(512, np.float32)
+        c[order[:512]] = c_sorted[0, :512]
+        counts[tile] = c
+    np.testing.assert_array_equal(counts[128], counts[256])
+    assert counts[128].max() >= 1.0  # non-degenerate flags
